@@ -1,24 +1,148 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pages.PagesGen
+import graft.pipeline.Pipeline
+
+/** Benchmark main. Prints ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Two parts:
+  *  1. headline queries from SparkEntry at SPARK_GRAFT_SF_DIR /
+  *     SPARK_GRAFT_CPUS (per-query seconds);
+  *  2. the north-rule two-cluster-size proxy: the pair-scoring stage
+  *     (match_pair.py mode — prefilter + full cascade over a fixed,
+  *     deterministic candidate table) timed at local[8] and local[32]
+  *     on the SAME input; reported as pairs_per_sec_c8 /
+  *     pairs_per_sec_c32 / scaling_efficiency = t32/(4·t8).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scoring rows are tiny but CPU-heavy: small read splits keep
+      // every core busy on the pair table
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Deterministic heavy pair-scoring workload: mentions bucketed so
+    * every bucket cross-pairs, yielding ~nPairs candidate rows. */
+  private def scoringWorkload(spark: SparkSession, dir: String): DataFrame = {
+    val pages = PagesGen.generate(spark, nEntities = 6000, mentionsPerEntity = 4)
+    val m = Pipeline.extractMentions(pages)
+    val n = Pipeline.normalize(m.select(col("mention_id").as("id"), col("name")))
+    val buckets = 6 // 24k names → ~4k per bucket → ~48M ordered pairs
+    val a = n.select((col("id") % buckets).as("b"), col("id").as("id_a"),
+      col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
+    val bb = n.select((col("id") % buckets).as("b"), col("id").as("id_b"),
+      col("pre_proc").as("pre_b"), col("nosuffix").as("nos_b"))
+    a.join(bb, Seq("b")).where(col("id_a") < col("id_b"))
+      .select("pre_a", "pre_b", "nos_a", "nos_b")
+  }
+
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run the scoring stage in a fresh JVM at local[cpus]. With
+    * `pinned`, taskset restricts the JVM to `cpus` physical cores so
+    * "N cores" also means N cores' worth of cache/bandwidth — the
+    * stricter single-box emulation of an N-core executor allocation.
+    * Returns pairs/sec. */
+  private def timeScoring(cpus: Int, candPath: String,
+      pinned: Boolean = false): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val pin = if (pinned) Seq("taskset", "-c", s"0-${cpus - 1}") else Seq.empty
+    val cmd: Seq[String] =
+      pin ++ Seq(javaBin, "-Xmx24g", "-cp", cp) ++
+        jdk17AddOpens ++
+        Seq("-Dspark.ui.enabled=false", "graft.tools.ScoreRunner",
+          cpus.toString, candPath)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
+    proc.waitFor()
+    out.find(_.startsWith("SCORE_RESULT")) match {
+      case Some(line) => line.split("\\s+")(3).toDouble
+      case None =>
+        System.err.println(s"[bench] ScoreRunner($cpus) failed:\n" +
+          out.takeRight(15).mkString("\n"))
+        0.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // part 1: headline queries
+    val headline = Seq("er_clusters", "er_edges", "q1_pricing", "q2_order_counts",
+      "q3_window_latest", "q4_events_hourly", "q6_dedup_exact", "q8_char_jaccard",
+      "q9_dedup_minhash", "q10_dedup_simhash", "q13_token_df", "q14_lang_quality",
+      "q15_ann_range", "q16_ann_topk", "q18_cc_copurchase", "q20_media_features")
+    val s1 = session(cpus)
+    try {
+      headline.foreach { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(s1, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        results(name) = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name ${results(name)}%.1fs")
+      }
+      // materialize the fixed scoring workload once
+      val candPath = "/tmp/graft_bench_pairs"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(candPath))) {
+        // 128 files ⇒ ≥4 tasks/core at local[32]; parquet row groups
+        // don't split, so file count IS the scan parallelism here
+        scoringWorkload(s1, sfDir).repartition(128)
+          .write.mode("overwrite").parquet(candPath)
+      }
+    } finally {
+      s1.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    // part 2: N vs 4N scaling on the identical input (the BASELINE
+    // two-cluster-size proxy). Primary: fresh JVMs at local[8] vs
+    // local[32], best of two runs each. Secondary: taskset-pinned
+    // variants (stricter: N cores = N cores' worth of shared cache).
+    val candPath = "/tmp/graft_bench_pairs"
+    val tput8 = math.max(timeScoring(8, candPath), timeScoring(8, candPath))
+    val tput32 = math.max(timeScoring(32, candPath), timeScoring(32, candPath))
+    results("pairs_per_sec_c8") = tput8
+    results("pairs_per_sec_c32") = tput32
+    results("scaling_efficiency") = tput32 / (4.0 * tput8)
+    val p8 = timeScoring(8, candPath, pinned = true)
+    val p32 = timeScoring(32, candPath, pinned = true)
+    results("pairs_per_sec_c8_pinned") = p8
+    results("pairs_per_sec_c32_pinned") = p32
+    results("scaling_efficiency_pinned") = if (p8 > 0) p32 / (4.0 * p8) else 0.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.filterNot(kv =>
+      kv._1.startsWith("pairs_per") || kv._1.startsWith("scaling")).values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

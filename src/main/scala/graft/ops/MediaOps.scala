@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, batched feature extraction over
+  * partitions. The image/audio codecs are NOT in this container, so
+  * `decodeStub` is a clearly-marked deterministic FAKE decoder — the
+  * Spark-side plumbing (schema, partitioning, batch shape, feature
+  * struct) is real and tested; swapping in a true codec is a
+  * one-function change.
+  */
+object MediaOps {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** FAKE media decode (deterministic): real implementation would call
+    * an image/audio codec here. Width/height/features are pure
+    * functions of the payload bytes so tests and resume are stable. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < payload.length) { h = (h ^ payload(i)) * 1099511628211L; i += 1 }
+    val width = 64 + (Math.floorMod(h, 8L) * 32L).toInt
+    val height = 64 + (Math.floorMod(h >>> 8, 8L) * 32L).toInt
+    val feat = new Array[Float](8)
+    var j = 0
+    while (j < 8) {
+      feat(j) = ((TextOps.mix64(h + j) >>> 11) * (1.0 / (1L << 53))).toFloat
+      j += 1
+    }
+    (width, height, feat)
+  }
+
+  /** media table: (media_id, payload binary, format, byte_len) —
+    * synthesized from a text column as the opaque payload. */
+  def mediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast(LongType).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (col(idCol) % 3 + 1).cast(IntegerType)).as("format"))
+      .withColumn("byte_len", length(col("payload")).cast(IntegerType))
+
+  /** Batched per-partition feature extraction (the mapPartitions shape
+    * a real codec needs: one codec instance per partition, streamed
+    * batches, no per-row setup). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload", "format", "byte_len").rdd
+      .mapPartitions { it =>
+        // per-partition "codec" init happens here in a real decoder
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h, feat) = decodeStub(payload)
+          Row(id, r.getInt(3), r.getString(2), w, h, feat.toSeq)
+        }
+      }
+    spark.createDataFrame(out, featureSchema)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.pages
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic synthetic Common-Crawl-style `pages` table in the
+  * driver-mandated shape (BASELINE.json input_hint):
+  * (url string, warc_ts timestamp, html binary, text string,
+  * lang string).
+  *
+  * Every row is a pure function of its index (per-row seeded PRNG), so
+  * the table is identical regardless of partitioning, executor count,
+  * or scale factor — the basis of the byte-identical-extracted-text
+  * invariant and of reproducible benchmarks. Each page carries one
+  * company-name mention (a per-entity variant: suffix swap, typo,
+  * token permutation, abbreviation …), so ground-truth clusters are
+  * known (entity id) and the matcher has realistic work.
+  */
+object PagesGen {
+
+  private val adjectives = Array("acme", "global", "advanced", "united",
+    "pacific", "northern", "premier", "dynamic", "pioneer", "sterling",
+    "summit", "liberty", "crescent", "atlas", "meridian", "cascade",
+    "granite", "horizon", "beacon", "vanguard", "crystal", "phoenix",
+    "evergreen", "falcon", "monarch", "sapphire", "titan", "aurora",
+    "redwood", "ironwood", "silverline", "bluepeak", "stonebridge",
+    "clearwater", "goldleaf", "brightstar")
+
+  private val nouns = Array("systems", "industries", "technologies",
+    "holdings", "dynamics", "materials", "networks", "laboratories",
+    "energy", "robotics", "logistics", "instruments", "semiconductors",
+    "analytics", "biosciences", "aerospace", "chemicals", "textiles",
+    "plastics", "foods", "breweries", "motors", "railways", "telecom",
+    "pharmaceuticals", "optics", "marine", "mining", "forestry", "media")
+
+  private val legalForms = Array("Inc.", "Corporation", "Corp", "Co.",
+    "LLC", "Ltd.", "Limited", "Company", "GmbH", "S.A.", "AG", "Co., Ltd.")
+
+  private val langs = Array("en", "en", "en", "en", "en", "en", "en",
+    "en", "de", "ja")
+
+  /** Base (canonical) name of entity e — deterministic AND injective:
+    * e maps bijectively onto (adjective, noun, optional 2nd noun)
+    * combos via a fixed odd multiplier coprime to the combo count, so
+    * two entities never share a base name (ground-truth clusters stay
+    * exact); beyond the combo space a numeric district token keeps
+    * names unique. */
+  def entityBaseName(e: Long): String = {
+    val nCombos = adjectives.length.toLong * nouns.length * (nouns.length + 1) // 36·30·31
+    val idx = (e % nCombos) * 7919L % nCombos
+    val gen = e / nCombos
+    val adj = adjectives((idx % adjectives.length).toInt)
+    val rest = idx / adjectives.length
+    val noun1 = nouns((rest % nouns.length).toInt)
+    val second = (rest / nouns.length).toInt // 0 = none, else noun index+1
+    val sb = new StringBuilder(adj.capitalize)
+    sb += ' '
+    sb ++= noun1.capitalize
+    if (second > 0) { sb += ' '; sb ++= nouns(second - 1).capitalize }
+    if (gen > 0) { sb ++= " District "; sb ++= gen.toString }
+    sb.toString
+  }
+
+  private def swapChars(s: String, i: Int): String =
+    if (i + 1 >= s.length) s
+    else s.substring(0, i) + s.charAt(i + 1) + s.charAt(i) + s.substring(i + 2)
+
+  /** Variant v of entity e's name — typo/suffix/permutation noise. */
+  def mentionName(e: Long, v: Int): String = {
+    val base = entityBaseName(e)
+    val r = new scala.util.Random(0x5eed0002L * (e + 1) + v)
+    val form = legalForms(r.nextInt(legalForms.length))
+    v % 6 match {
+      case 0 => s"$base ${legalForms(0)}"
+      case 1 => s"$base $form"
+      case 2 => s"The $base $form"
+      case 3 => // adjacent-char typo in the longest word
+        val toks = base.split(' ')
+        val li = toks.indices.maxBy(i => toks(i).length)
+        if (toks(li).length >= 6) {
+          toks(li) = swapChars(toks(li), 2 + r.nextInt(toks(li).length - 4))
+          s"${toks.mkString(" ")} $form"
+        } else s"$base $form"
+      case 4 => // token permutation (legal form first)
+        val toks = base.split(' ')
+        s"${toks.reverse.mkString(" ")} $form"
+      case _ => s"${base.toUpperCase(java.util.Locale.ROOT)} $form"
+    }
+  }
+
+  private val paraDe = "Unternehmensprofil und Geschäftsbericht für "
+  private val paraJa = "会社概要および事業報告: "
+
+  def htmlFor(e: Long, v: Int, lang: String): String = {
+    val name = mentionName(e, v)
+    val para = lang match {
+      case "de" => paraDe + name
+      case "ja" => paraJa + name
+      case _ => s"Corporate profile and annual report for $name"
+    }
+    s"""<html><head><title>Profile $e-$v</title></head>
+       |<body><h1>Record $e/$v</h1>
+       |<p>Company: $name</p>
+       |<p>$para</p>
+       |<p>Crawl batch ${e % 97}</p></body></html>""".stripMargin
+  }
+
+  /** Deterministic pages DataFrame: nEntities × mentionsPerEntity rows. */
+  def generate(spark: SparkSession, nEntities: Long, mentionsPerEntity: Int,
+      partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val mpe = mentionsPerEntity
+    spark.range(0, nEntities * mpe, 1, partitions).map { i =>
+      val e = i / mpe
+      val v = (i % mpe).toInt
+      val lang = langs(((e * 31 + v) % langs.length).toInt)
+      val html = htmlFor(e, v, lang)
+      val bytes = html.getBytes(StandardCharsets.UTF_8)
+      val text = Extract.extractText(bytes)
+      val ts = new Timestamp(1609459200000L + i * 1000L) // 2021-01-01 + i sec
+      (s"https://host$e-$v.example/profile", ts, bytes, text, lang)
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** Ground-truth entity id for a page url (test oracle). */
+  def entityOf(url: String): Long =
+    url.stripPrefix("https://host").takeWhile(_ != '-').toLong
+}

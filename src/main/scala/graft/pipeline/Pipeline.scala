@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cluster.ConnectedComponents
+import graft.expr.{functions => gf}
+import graft.pages.Extract
+
+/** The Spark-native record-linkage dataflow (SURVEY.md §3.1 re-shaped):
+  *
+  *   pages →(extract)→ mentions →(normalize, distinct-memoized)→
+  *   names_norm →(blocking-key explode)→ keyed →(equi hash join)→
+  *   candidates →(prefilter + cascade)→ edges →(connected components)→
+  *   clusters
+  *
+  * Scale design decisions (each .explain-verified in PipelineSpec):
+  *  - normalization runs once per DISTINCT raw name and is joined back
+  *    (match_pair.py:28-30's memo dict, relationally) — at web scale
+  *    distinct names ≪ mentions;
+  *  - candidate generation is an equi-join on exploded blocking keys,
+  *    never a cross product; pair dedup keys on (idA, idB);
+  *  - oversized blocks (stop-word-like keys) are CAPPED, counted, and
+  *    logged — never silently joined (a hot metaphone key would
+  *    otherwise produce n² pairs); AQE skew-join remains on as the
+  *    second line of defense;
+  *  - the cheap token_set_ratio prefilter (cutoff 50, matcher.py:33)
+  *    runs before the cascade inside the same codegen stage, so >90%
+  *    of candidates never reach the 230-rule scorer.
+  */
+object Pipeline {
+
+  final case class Config(
+      cutoff: Int = 50,
+      removePeople: Boolean = true,
+      // a block of n rows yields O(n²) pairs: 200 ⇒ ≤19.9k pairs/block.
+      // Hot (stop-word-like) keys above the cap are dropped WITH
+      // logging; recall is carried by the finer keys (minhash bands,
+      // token-sort, phonetic of rarer tokens).
+      maxBlockSize: Int = 200,
+      ccMaxIter: Int = 30) {
+    def hash: String = Lineage.sha("v1", cutoff.toString, removePeople.toString,
+      maxBlockSize.toString, ccMaxIter.toString)
+  }
+
+  /** pages → (mention_id, url, name). */
+  def extractMentions(pages: DataFrame): DataFrame = Extract.mentions(pages)
+
+  /** Normalize once per distinct raw name, join back (A2).
+    * Input: (id, name); output adds pre_proc, nosuffix; rows whose
+    * normalization fails (person veto / empty) are dropped, mirroring
+    * the reference's dropna (matcher.py:440-445). */
+  def normalize(names: DataFrame, cfg: Config = Config()): DataFrame = {
+    val distinctNorm = names.select(col("name")).distinct()
+      .withColumn("pre_proc", gf.normalize_name(col("name"), cfg.removePeople))
+      .na.drop(Seq("pre_proc"))
+      .where(col("pre_proc") =!= "")
+      .withColumn("nosuffix", gf.remove_suffix(col("pre_proc")))
+    names.join(distinctNorm, Seq("name"))
+  }
+
+  /** Explode blocking keys; id column must be named `id`. */
+  def withBlockingKeys(norm: DataFrame): DataFrame =
+    norm.withColumn("key", explode(gf.blocking_keys(col("pre_proc"))))
+
+  /** Hot-key census: key → row count (for cap + skew logging). */
+  def blockSizes(keyed: DataFrame): DataFrame =
+    keyed.groupBy("key").agg(count(lit(1)).as("block_size"))
+
+  /** Self-join candidate pairs over blocking keys with the oversize
+    * cap. Returns (id_a, id_b, pre_a, pre_b, nos_a, nos_b). */
+  def candidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame = {
+    val keyed = withBlockingKeys(norm)
+    val sizes = blockSizes(keyed)
+    val dropped = sizes.where(col("block_size") > cfg.maxBlockSize)
+    val nDropped = dropped.count()
+    if (nDropped > 0) {
+      val log = org.apache.log4j.Logger.getLogger(getClass)
+      log.warn(s"candidatesSelf: capping $nDropped oversized blocks " +
+        s"(> ${cfg.maxBlockSize} rows); top: " +
+        dropped.orderBy(desc("block_size")).limit(5).collect().mkString(", "))
+    }
+    val capped = keyed.join(broadcast(dropped.select("key")), Seq("key"), "left_anti")
+    // SHUFFLE_HASH: the designed bucketed hash join on blocking keys.
+    // A broadcast join here would inherit the (possibly AQE-coalesced,
+    // single-partition) left side's parallelism and serialize
+    // everything downstream. Pair dedup runs on the 16-byte id pair
+    // BEFORE the name strings are joined back — at web scale the
+    // duplicate-key traffic is the dominant shuffle.
+    val a = capped.select(col("key"), col("id").as("id_a"))
+    val b = capped.select(col("key"), col("id").as("id_b"))
+    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    attachNames(pairs, norm)
+  }
+
+  /** Join the normalized-name columns back onto an (id_a, id_b) pair
+    * table (the relational face of match_pair.py's memo dict). */
+  def attachNames(pairs: DataFrame, norm: DataFrame): DataFrame = {
+    val n1 = norm.select(col("id").as("id_a"),
+      col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
+    val n2 = norm.select(col("id").as("id_b"),
+      col("pre_proc").as("pre_b"), col("nosuffix").as("nos_b"))
+    pairs.join(n1, Seq("id_a")).join(n2, Seq("id_b"))
+      .select("id_a", "id_b", "pre_a", "pre_b", "nos_a", "nos_b")
+  }
+
+  /** Two-sided candidate generation (main × base, matcher.py flow).
+    * The two inputs must not share id values (caller offsets one side
+    * if needed). */
+  def candidatesTwoSided(main: DataFrame, base: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val keyedM = withBlockingKeys(main).select(col("key"), col("id").as("id_a"))
+    val keyedB = withBlockingKeys(base).select(col("key"), col("id").as("id_b"))
+    val sizes = keyedB.groupBy("key").agg(count(lit(1)).as("block_size"))
+    val hot = sizes.where(col("block_size") > cfg.maxBlockSize).select("key")
+    val pairs = keyedM
+      .join(keyedB.join(broadcast(hot), Seq("key"), "left_anti").hint("SHUFFLE_HASH"),
+        Seq("key"))
+      .select("id_a", "id_b")
+      .distinct()
+    val n1 = main.select(col("id").as("id_a"),
+      col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
+    val n2 = base.select(col("id").as("id_b"),
+      col("pre_proc").as("pre_b"), col("nosuffix").as("nos_b"))
+    pairs.join(n1, Seq("id_a")).join(n2, Seq("id_b"))
+      .select("id_a", "id_b", "pre_a", "pre_b", "nos_a", "nos_b")
+  }
+
+  /** Execution barrier: a projection containing a nondeterministic
+    * column. Catalyst will not push deterministic filters through it,
+    * which pins the expensive scoring ABOVE the preceding
+    * dedup/repartition exchanges (otherwise the optimizer floats the
+    * cascade down into the candidate join — running it once per
+    * duplicate key-collision and at the join's, possibly coalesced,
+    * parallelism). */
+  private def barrier(df: DataFrame): DataFrame =
+    df.withColumn("__barrier", rand(7)).drop("__barrier")
+
+  /** Prefilter + cascade over candidate pairs → accepted edges with
+    * the reference's output score (token_sort_ratio of nosuffix,
+    * matcher.py:393).
+    *
+    * Order is load-bearing at scale:
+    *  1. pairs are already DISTINCT (dedup before scoring — each of
+    *     the ~16 blocking keys a pair can share must not re-run the
+    *     230-rule cascade);
+    *  2. explicit round-robin repartition: AQE coalesces partitions by
+    *     BYTE size and candidate rows are tiny strings with heavy
+    *     per-row compute — without this the cascade collapses onto a
+    *     few cores;
+    *  3. the barrier keeps 1-2 from being optimized away. */
+  def scoreCandidates(cand: DataFrame, cfg: Config = Config()): DataFrame =
+    barrier(cand.repartition(cand.sparkSession.sparkContext.defaultParallelism * 2))
+      .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+      .withColumn("code", gf.match_score(col("pre_a"), col("pre_b")))
+      .where(col("code") > 0)
+      .withColumn("score", gf.token_sort_ratio(col("nos_a"), col("nos_b")))
+
+  /** Edges → (id, component). */
+  def cluster(edges: DataFrame, vertices: DataFrame, cfg: Config = Config()): DataFrame =
+    ConnectedComponents.assignAll(
+      edges.select(col("id_a"), col("id_b")), vertices)
+
+  /** Full pages → clusters dataflow. The normalized-names and edge
+    * tables are consumed by several downstream actions (key census,
+    * candidate join, CC iterations), so they are persisted — the
+    * in-memory analog of the per-stage committed outputs in
+    * [[runResumable]]. */
+  def endToEnd(pages: DataFrame, cfg: Config = Config()): DataFrame = {
+    val mentions = extractMentions(pages)
+    val norm = normalize(mentions.select(col("mention_id").as("id"), col("name")), cfg)
+      .persist()
+    val cand = candidatesSelf(norm, cfg)
+    val edges = scoreCandidates(cand, cfg).persist()
+    val clusters = cluster(edges, norm.select("id"), cfg)
+    val out = mentions.join(clusters, mentions("mention_id") === clusters("id"))
+      .select(col("mention_id"), col("url"), col("name"), col("component"))
+      .localCheckpoint()
+    norm.unpersist()
+    edges.unpersist()
+    out
+  }
+
+  /** Full dataflow with per-stage committed outputs + lineage sidecars
+    * (resumable: rerun skips stages whose sidecar matches). */
+  def runResumable(spark: SparkSession, pages: DataFrame, root: String,
+      pagesFingerprint: String, cfg: Config = Config()): DataFrame = {
+    val ch = cfg.hash
+    val mentions = Lineage.stage(spark, root, "mentions", pagesFingerprint, ch) {
+      extractMentions(pages)
+    }
+    val mFp = Lineage.dirFingerprint(s"$root/mentions")
+    val norm = Lineage.stage(spark, root, "names_norm", mFp, ch) {
+      normalize(mentions.select(col("mention_id").as("id"), col("name")), cfg)
+    }
+    val nFp = Lineage.dirFingerprint(s"$root/names_norm")
+    val edges = Lineage.stage(spark, root, "edges", nFp, ch) {
+      scoreCandidates(candidatesSelf(norm, cfg), cfg)
+    }
+    val eFp = Lineage.dirFingerprint(s"$root/edges")
+    Lineage.stage(spark, root, "clusters", eFp, ch) {
+      cluster(edges, norm.select("id"), cfg)
+    }
+  }
+}

@@ -13,12 +13,28 @@ package graft.score
   */
 object Fuzz extends Serializable {
 
+  // thread-local scratch: the LCS DP row and Jaro match flags are the
+  // per-pair allocation hot spots at millions of pairs/executor
+  private val dpBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+  private val flagBuf = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](512)
+  }
+
+  private def dpRow(n: Int): Array[Int] = {
+    var b = dpBuf.get()
+    if (b.length < n) { b = new Array[Int](math.max(n, b.length * 2)); dpBuf.set(b) }
+    java.util.Arrays.fill(b, 0, n, 0)
+    b
+  }
+
   /** Indel distance = |s1| + |s2| − 2·LCS over chars. */
   def indelDistance(s1: CharSequence, s2: CharSequence): Int = {
     val n = s1.length
     val m = s2.length
     if (n == 0 || m == 0) return n + m
-    val dp = new Array[Int](m + 1)
+    val dp = dpRow(m + 1)
     var i = 0
     while (i < n) {
       var prevDiag = 0
@@ -43,7 +59,7 @@ object Fuzz extends Serializable {
     val n = s1.length
     val m = s2.length
     if (n == 0 || m == 0) return n + m
-    val dp = new Array[Int](m + 1)
+    val dp = dpRow(m + 1)
     var i = 0
     while (i < n) {
       var prevDiag = 0
@@ -107,19 +123,136 @@ object Fuzz extends Serializable {
   def tokenSortRatioSeq(s1: IndexedSeq[String], s2: IndexedSeq[String]): Double =
     ratioSeq(s1, s2)
 
+  /** Cached sorted-distinct-token view of a string (for the
+    * token_set_ratio hot path: one view per distinct name, reused
+    * across all its pairs). */
+  final class TokenView(val s: String) {
+    val sortedDistinct: Array[String] = {
+      val t = pySplit(s)
+      java.util.Arrays.sort(t, java.util.Comparator.naturalOrder[String]())
+      // in-place unique
+      var w = 0
+      var i = 0
+      while (i < t.length) {
+        if (w == 0 || t(w - 1) != t(i)) { t(w) = t(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(t, w)
+    }
+  }
+  private val viewMask = (1 << 18) - 1
+  @transient private lazy val viewCache = new Array[TokenView](viewMask + 1)
+  def tokenView(s: String): TokenView = {
+    val slot = s.hashCode & viewMask
+    val v = viewCache(slot)
+    if (v != null && v.s == s) return v
+    val nv = new TokenView(s)
+    viewCache(slot) = nv
+    nv
+  }
+
+  // UTF8String-keyed front cache for the prefilter expression (skips
+  // per-row UTF8String→String conversion; stored key cloned because
+  // inputs may alias reused row buffers)
+  private final class U8View(val key: org.apache.spark.unsafe.types.UTF8String,
+      val view: TokenView)
+  @transient private lazy val u8Views = new Array[U8View](viewMask + 1)
+  def tokenViewUtf8(u: org.apache.spark.unsafe.types.UTF8String): TokenView = {
+    val slot = u.hashCode & viewMask
+    val e = u8Views(slot)
+    if (e != null && e.key.equals(u)) return e.view
+    val v = tokenView(u.toString)
+    u8Views(slot) = new U8View(u.clone(), v)
+    v
+  }
+
+  /** token_set_ratio over UTF8String columns (expression hot path). */
+  def tokenSetRatioUtf8(u1: org.apache.spark.unsafe.types.UTF8String,
+      u2: org.apache.spark.unsafe.types.UTF8String): Double =
+    tokenSetRatioViews(tokenViewUtf8(u1), tokenViewUtf8(u2))
+
+  /** Decision-only `token_set_ratio > cutoff` with bound-based
+    * short-circuit: the two subset comparisons (r1, r2) are O(1) given
+    * merged lengths, and the Indel comparison is bounded above by
+    * assuming the minimal distance |abLen−baLen| — the O(n·m) DP runs
+    * only when the bounds straddle the cutoff. Decision-identical to
+    * `tokenSetRatio(s1, s2) > cutoff` (asserted in FuzzSpec). */
+  def tokenSetRatioGtUtf8(u1: org.apache.spark.unsafe.types.UTF8String,
+      u2: org.apache.spark.unsafe.types.UTF8String, cutoff: Double): Boolean = {
+    val a = tokenViewUtf8(u1).sortedDistinct
+    val b = tokenViewUtf8(u2).sortedDistinct
+    if (a.length == 0 || b.length == 0) return 0.0 > cutoff
+    // merged lengths without building strings
+    var sectLen = 0
+    var sectCount = 0
+    var abLen = 0
+    var abCount = 0
+    var baLen = 0
+    var baCount = 0
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val cmp = a(i).compareTo(b(j))
+      if (cmp == 0) { sectLen += a(i).length; sectCount += 1; i += 1; j += 1 }
+      else if (cmp < 0) { abLen += a(i).length; abCount += 1; i += 1 }
+      else { baLen += b(j).length; baCount += 1; j += 1 }
+    }
+    while (i < a.length) { abLen += a(i).length; abCount += 1; i += 1 }
+    while (j < b.length) { baLen += b(j).length; baCount += 1; j += 1 }
+    if (sectCount > 0 && (abCount == 0 || baCount == 0)) return 100.0 > cutoff
+    if (abCount > 1) abLen += abCount - 1
+    if (baCount > 1) baLen += baCount - 1
+    if (sectCount > 1) sectLen += sectCount - 1
+    val sd = if (sectLen > 0) 1 else 0
+    val sectAbLen = sectLen + sd + abLen
+    val sectBaLen = sectLen + sd + baLen
+    val d1 = sectLen + sectAbLen
+    val r1 = if (d1 > 0) 100.0 * (1.0 - (sd + abLen).toDouble / d1) else 100.0
+    val d2 = sectLen + sectBaLen
+    val r2 = if (d2 > 0) 100.0 * (1.0 - (sd + baLen).toDouble / d2) else 100.0
+    if (math.max(r1, r2) > cutoff) return true
+    val denom0 = sectAbLen + sectBaLen
+    if (denom0 <= 0) return 100.0 > cutoff
+    // upper bound: dist ≥ |abLen − baLen|
+    val upper = 100.0 * (1.0 - math.abs(abLen - baLen).toDouble / denom0)
+    if (upper <= cutoff) return false
+    tokenSetRatioViews(tokenViewUtf8(u1), tokenViewUtf8(u2)) > cutoff
+  }
+
+  private val sbA = new ThreadLocal[java.lang.StringBuilder] {
+    override def initialValue() = new java.lang.StringBuilder(64)
+  }
+  private val sbB = new ThreadLocal[java.lang.StringBuilder] {
+    override def initialValue() = new java.lang.StringBuilder(64)
+  }
+
   /** fuzz.token_set_ratio — max of the three SeatGeek comparisons,
-    * computed via the rapidfuzz distance formulas. */
-  def tokenSetRatio(s1: String, s2: String): Double = {
-    val ta = pySplit(s1).toSet
-    val tb = pySplit(s2).toSet
-    if (ta.isEmpty || tb.isEmpty) return 0.0
-    val inter = ta & tb
-    val dab = ta -- tb
-    val dba = tb -- ta
-    if (inter.nonEmpty && (dab.isEmpty || dba.isEmpty)) return 100.0
-    val ab = dab.toArray.sorted.mkString(" ")
-    val ba = dba.toArray.sorted.mkString(" ")
-    val sectLen = inter.toArray.sorted.mkString(" ").length
+    * computed via the rapidfuzz distance formulas over a sorted-merge
+    * of the cached per-name token views (zero steady-state
+    * allocation). */
+  def tokenSetRatio(s1: String, s2: String): Double =
+    tokenSetRatioViews(tokenView(s1), tokenView(s2))
+
+  def tokenSetRatioViews(v1: TokenView, v2: TokenView): Double = {
+    val a = v1.sortedDistinct
+    val b = v2.sortedDistinct
+    if (a.length == 0 || b.length == 0) return 0.0
+    val ab = sbA.get(); ab.setLength(0)
+    val ba = sbB.get(); ba.setLength(0)
+    var sectLen = 0
+    var sectCount = 0
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val cmp = a(i).compareTo(b(j))
+      if (cmp == 0) { sectLen += a(i).length; sectCount += 1; i += 1; j += 1 }
+      else if (cmp < 0) { if (ab.length > 0) ab.append(' '); ab.append(a(i)); i += 1 }
+      else { if (ba.length > 0) ba.append(' '); ba.append(b(j)); j += 1 }
+    }
+    while (i < a.length) { if (ab.length > 0) ab.append(' '); ab.append(a(i)); i += 1 }
+    while (j < b.length) { if (ba.length > 0) ba.append(' '); ba.append(b(j)); j += 1 }
+    if (sectCount > 0 && (ab.length == 0 || ba.length == 0)) return 100.0
+    if (sectCount > 1) sectLen += sectCount - 1 // join spaces
     val sd = if (sectLen > 0) 1 else 0
     val abLen = ab.length
     val baLen = ba.length
@@ -138,6 +271,20 @@ object Fuzz extends Serializable {
     math.max(best, math.max(r1, r2))
   }
 
+  /** Python `a[:k] == b[:k]` without allocation. */
+  def prefixEq(a: String, b: String, k: Int): Boolean = {
+    val la = math.min(k, a.length)
+    val lb = math.min(k, b.length)
+    la == lb && a.regionMatches(0, b, 0, la)
+  }
+
+  /** Python `a[-k:] == b[-k:]` without allocation. */
+  def suffixEq(a: String, b: String, k: Int): Boolean = {
+    val la = math.min(k, a.length)
+    val lb = math.min(k, b.length)
+    la == lb && a.regionMatches(a.length - la, b, b.length - lb, la)
+  }
+
   /** Jaro similarity (rapidfuzz definition). */
   def jaro(s1: CharSequence, s2: CharSequence): Double = {
     val l1 = s1.length
@@ -146,8 +293,13 @@ object Fuzz extends Serializable {
     if (l1 == 0 || l2 == 0) return 0.0
     var window = math.max(l1, l2) / 2 - 1
     if (window < 0) window = 0
-    val m1 = new Array[Boolean](l1)
-    val m2 = new Array[Boolean](l2)
+    var fb = flagBuf.get()
+    if (fb.length < l1 + l2) {
+      fb = new Array[Boolean](math.max(l1 + l2, fb.length * 2)); flagBuf.set(fb)
+    }
+    java.util.Arrays.fill(fb, 0, l1 + l2, false)
+    val m1 = fb // slots [0, l1)
+    val off = l1 // m2 = slots [l1, l1+l2)
     var matches = 0
     var i = 0
     while (i < l1) {
@@ -156,8 +308,8 @@ object Fuzz extends Serializable {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
-          m1(i) = true; m2(j) = true; matches += 1; done = true
+        if (!fb(off + j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; fb(off + j) = true; matches += 1; done = true
         }
         j += 1
       }
@@ -169,7 +321,7 @@ object Fuzz extends Serializable {
     i = 0
     while (i < l1) {
       if (m1(i)) {
-        while (!m2(k)) k += 1
+        while (!fb(off + k)) k += 1
         if (s1.charAt(i) != s2.charAt(k)) t += 1
         k += 1
       }

@@ -6,34 +6,48 @@ import graft.text.{AbbrTables, Dictionaries, Normalizer}
 
 /** The reference's accept/reject rule cascade `match(a, b)`
   * (/root/reference/matcher.py:139-366), ported rule-for-rule over the
-  * same dictionaries. Input: two normalized names (a = query side,
-  * b = base/CRSP side). Output: signed code; accept ⇔ code > 0. The
-  * Python `return False` paths (check_double) are represented as 0,
-  * which preserves `code > 0` accept semantics.
+  * same dictionaries, evaluated over memoized per-name analyses
+  * ([[NameAnalysis]]) so per-pair work is only the genuinely pairwise
+  * part. Input: a = query side, b = base/CRSP side; accept ⇔ code > 0.
+  * The Python `return False` paths (check_double) are represented as
+  * 0, preserving `code > 0` accept semantics.
   *
   * Reference quirks preserved on purpose (SURVEY.md §8 R3): the
   * always-false chained comparison that makes +11 unreachable
   * (matcher.py:337), the dead threshold assignment at :197-198, the
-  * asymmetric −23/−3 rules testing only one side, last-occurrence
-  * pos_x vs first-occurrence pos_y, and scores appended for suffix
-  * tokens before the `continue`.
+  * asymmetric −23/−3 rules testing only the query side,
+  * last-occurrence pos_x vs first-occurrence pos_y, and alignment
+  * scores recorded for suffix tokens before the `continue`.
   */
 object MatchCascade extends Serializable {
 
   import Fuzz._
 
   private val suffix = AbbrTables.suffix
-  private val intl = Vector("global", "international", "worldwide", "national")
+  private[score] val intl = Vector("global", "international", "worldwide", "national")
   private val tooGeneral = Vector("and", "of", "for", "holdings", "holding",
     "group", "enterprises", "international", "global")
-  private val na: Set[String] =
+  private[score] val naSet: Set[String] =
     Set("north", "america", "great") ++ intl ++ tooGeneral
 
-  private val banList = Vector("organization", "organization", "academy",
+  private[score] val banListSeq = Vector("organization", "organization", "academy",
     "university", "agency", "republic", "union", "21st", "commission",
     "council", "school", "community", "institute", "federation", "nations",
     "association", "church", "society", "league", "800", "24",
     "great america")
+
+  private[score] val goodXTL = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+  private[score] val goodYTL = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+  private[score] val ggXTL = new ThreadLocal[java.util.ArrayList[String]] {
+    override def initialValue() = new java.util.ArrayList[String]()
+  }
+  private[score] val ggYTL = new ThreadLocal[java.util.ArrayList[String]] {
+    override def initialValue() = new java.util.ArrayList[String]()
+  }
 
   /** matcher.py:122 — ASCII-only `[a-z]+`. */
   private val wPlus = Pattern.compile("[a-z]+")
@@ -46,8 +60,7 @@ object MatchCascade extends Serializable {
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
-  /** check_double (matcher.py:66-81). Returns true when the Python
-    * function returns False (= reject signal); false for its None. */
+  /** check_double (matcher.py:66-81). True ⇔ Python returns False. */
   private def checkDoubleRejects(a: Array[String], b: Array[String]): Boolean = {
     var i = 0
     while (i < a.length - 1) {
@@ -71,113 +84,130 @@ object MatchCascade extends Serializable {
   }
 
   /** match(a, b) → signed code (accept ⇔ > 0). */
-  def score(a: String, b: String): Int = {
+  def score(a: String, b: String): Int =
+    score(NameAnalysis.of(a), NameAnalysis.of(b))
+
+  /** UTF8String entry point for the Catalyst expression hot path. */
+  def scoreUtf8(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Int =
+    score(NameAnalysis.ofUtf8(a), NameAnalysis.ofUtf8(b))
+
+  def score(aa: NameAnalysis, ba: NameAnalysis): Int = {
+    val a = aa.name
+    val b = ba.name
     val eng = Dictionaries.eng
     val commonAbbr = Dictionaries.commonAbbr
     val commonAbbr12 = Dictionaries.commonAbbr12
 
     // part 1: high-similarity treatment (matcher.py:141-146)
-    if (a.contains("matchit") && b.contains("matchit")) {
-      val at = pySplit(a.substring(0, a.indexOf("matchit")))
-      val bt = pySplit(b.substring(0, b.indexOf("matchit")))
-      // Python IndexError on empty → logged and fallen through
-      if (at.nonEmpty && bt.nonEmpty && at.last == bt.last) return 16
+    if (aa.hasMatchit && ba.hasMatchit) {
+      if (aa.matchitLast != null && ba.matchitLast != null &&
+          aa.matchitLast == ba.matchitLast) return 16
+      // Python IndexError on empty prefix → logged, falls through
     }
-    val c = Normalizer.removeSuffix(a)
-    val d = Normalizer.removeSuffix(b)
-    val x = pySplit(b)
-    val y = pySplit(a)
+    val x = ba.tokens // base/CRSP side
+    val y = aa.tokens // query side
 
     if (y.length - x.length > 5) return -23
-    val _aSet = y.toSet -- suffix
-    val _bSet = x.toSet -- suffix
-    if ((_aSet -- na).isEmpty) return -1
-    if ((_bSet -- na).isEmpty) return -2
+    if (aa.onlySuffixNa) return -1
+    if (ba.onlySuffixNa) return -2
 
-    if (Dictionaries.hasLocation(a) && Dictionaries.hasLocation(b)) {
-      if (tokenSortRatio(a, b) > 95) return 21 else return -22
+    if (aa.hasLoc && ba.hasLoc) {
+      if (ratio(aa.sortJoined, ba.sortJoined) > 95) return 21 else return -22
     }
-    if (a.replace(" ", "") == b.replace(" ", "") && a.length > 8) return 1
-    if (tokenSortRatio(a, b) == 100.0 || sortedChars(c) == sortedChars(d)) {
-      if (a.take(3) == b.take(3)) {
-        if (tooGeneral.contains(c) && tooGeneral.contains(d)) return -21
+    if (aa.noSpace == ba.noSpace && a.length > 8) return 1
+    if (ratio(aa.sortJoined, ba.sortJoined) == 100.0 ||
+        aa.cSortedChars == ba.cSortedChars) {
+      if (Fuzz.prefixEq(a, b, 3)) {
+        if (tooGeneral.contains(aa.c) && tooGeneral.contains(ba.c)) return -21
         else if (x.length >= 2 && y.length >= 2) {
-          if (x(1).take(3) == y(1).take(3)) return 1
+          if (Fuzz.prefixEq(x(1), y(1), 3)) return 1
           // else fall through (matcher.py:173-175 has no else-return)
         } else return 1
       }
     }
 
-    var bi = 0
-    while (bi < banList.length) {
-      if (a.contains(banList(bi))) return -3
-      bi += 1
-    }
+    if (aa.banHit) return -3
 
-    // per-token alignment (matcher.py:183-223)
-    val goodX = scala.collection.mutable.Set.empty[String]
-    val goodY = scala.collection.mutable.Set.empty[String]
+    // per-token alignment (matcher.py:183-223); thread-local reused
+    val goodX = MatchCascade.goodXTL.get(); goodX.clear()
+    val goodY = MatchCascade.goodYTL.get(); goodY.clear()
     var hasBadX = false
-    val posX = scala.collection.mutable.HashMap.empty[String, Int]
-    val posY = scala.collection.mutable.HashMap.empty[String, Int]
-    val scoreX = new Array[Double](x.length + 1) // 1-based; 0 unused
+    val scoreX = new Array[Double](x.length + 1) // 1-based
     var m = 1
     while (m <= x.length) {
       val wx = x(m - 1)
-      posX(wx) = m // last occurrence wins (matcher.py:188)
       var best = 0.0
       var any = false
       var n = 1
       while (n <= y.length) {
         val wy = y(n - 1)
-        if (!posY.contains(wy)) posY(wy) = n // first occurrence (matcher.py:191-192)
         val sc = ratio(wx, wy)
         if (!any || sc > best) best = sc
         any = true
-        if (!suffix.contains(wy)) {
-          // threshold ladder — first assignment dead, preserved order
-          var threshold = if (m == 1) 92 else 89
+        if (!aa.tokIsSuffix(n - 1)) {
+          var threshold = if (m == 1) 92 else 89 // first assignment at :197-198 is dead
           if (x.length == y.length && x.length > 3) threshold = 75
           if (sc > threshold && wx.charAt(0) == wy.charAt(0) &&
-              !(wy.last >= '0' && wy.last <= '9')) goodX += wx
-          if (jaroWinkler(wx, wy) > 0.92) goodY += wy
+              !(wy.charAt(wy.length - 1) >= '0' && wy.charAt(wy.length - 1) <= '9'))
+            goodX.add(wx)
+          if (jaroWinkler(wx, wy) > 0.92) goodY.add(wy)
         }
         n += 1
       }
-      if (!goodX.contains(wx) && !suffix.contains(wx)) hasBadX = true
+      if (!goodX.contains(wx) && !ba.tokIsSuffix(m - 1)) hasBadX = true
       if (!goodX.contains(wx) && m == 1) hasBadX = true
       scoreX(m) = if (any) best else 0.0
       m += 1
     }
 
     // high token-sort score (matcher.py:226-231)
-    if (tokenSortRatio(c, d) > 94 && !hasBadX && a.charAt(0) == b.charAt(0))
-      return 2
+    if (ratio(aa.cSortJoined, ba.cSortJoined) > 94 && !hasBadX &&
+        a.charAt(0) == b.charAt(0)) return 2
 
     if (x.length == 0 || y.length == 0) return -4
-    if (x.length == 1 && (eng.contains(x(0)) || x(0).length < 5)) return -5
-    if (x.length == 2 && eng.contains(x.take(2).mkString(" "))) return -6
-    if (x.length == 3 && eng.contains(x.take(3).mkString(" "))) return -13
+    if (x.length == 1 && (ba.tokIsEng(0) || x(0).length < 5)) return -5
+    if (x.length == 2 && ba.first2InEng) return -6
+    if (x.length == 3 && ba.first3InEng) return -13
 
     // part 2 (matcher.py:247-250)
     if (checkDoubleRejects(x, y)) return 0
     if (checkDoubleRejects(y, x)) return 0
 
     // "all tokens explained" (matcher.py:252-275)
-    val cToks = pySplit(c).toSet
-    val dToks = pySplit(d).toSet
-    if ((cToks -- commonAbbr -- goodY).isEmpty || (dToks -- commonAbbr -- goodX).isEmpty) {
-      val remainGoodY = goodY.toSet -- suffix
-      if (remainGoodY.size == 1) {
-        val goodWy = wPlusFirst(remainGoodY.head)
+    val cExplained = {
+      var ok = true
+      var i = 0
+      val arr = aa.cToksNotAbbr
+      while (ok && i < arr.length) { if (!goodY.contains(arr(i))) ok = false; i += 1 }
+      ok
+    }
+    val dExplained = {
+      var ok = true
+      var i = 0
+      val arr = ba.cToksNotAbbr
+      while (ok && i < arr.length) { if (!goodX.contains(arr(i))) ok = false; i += 1 }
+      ok
+    }
+    if (cExplained || dExplained) {
+      // remain_good_y = good_y - suffix
+      var remainCount = 0
+      var remainTok: String = null
+      val itr = goodY.iterator()
+      while (itr.hasNext) {
+        val t = itr.next()
+        if (!suffix.contains(t)) { remainCount += 1; remainTok = t }
+      }
+      if (remainCount == 1) {
+        val goodWy = wPlusFirst(remainTok)
         if (goodWy != null) {
           if (commonAbbr12.contains(goodWy)) return -8
         } else return -18
         var n = 0
         while (n < y.length) {
           val wy = y(n)
-          if (!goodY.contains(wy) && !suffix.contains(wy)) {
-            if (posY(wy) <= x.length) return -20
+          if (!goodY.contains(wy) && !aa.tokIsSuffix(n)) {
+            if (aa.posFirst(wy) <= x.length) return -20
           }
           n += 1
         }
@@ -189,23 +219,59 @@ object MatchCascade extends Serializable {
         }
       }
       if (goodX.contains(x(0)) && goodY.contains(y(0)) &&
-          !eng.contains(x(0)) && !eng.contains(y(0)) &&
-          a.take(3) == b.take(3)) return 10
+          !ba.tokIsEng(0) && !aa.tokIsEng(0) &&
+          Fuzz.prefixEq(a, b, 3)) return 10
     }
 
-    val ggY = goodY.toSet -- commonAbbr -- suffix
-    val ggX = goodX.toSet -- commonAbbr -- suffix
+    // __good_y / __good_x = good sets minus common_abbr minus suffix
+    val ggY = MatchCascade.ggYTL.get(); ggY.clear()
+    val ggX = MatchCascade.ggXTL.get(); ggX.clear()
+    var it2 = goodY.iterator()
+    while (it2.hasNext) {
+      val t = it2.next()
+      if (!commonAbbr.contains(t) && !suffix.contains(t)) ggY.add(t)
+    }
+    it2 = goodX.iterator()
+    while (it2.hasNext) {
+      val t = it2.next()
+      if (!commonAbbr.contains(t) && !suffix.contains(t)) ggX.add(t)
+    }
 
     // "enough informative matched letters" (matcher.py:280-307)
-    val asciiCount = ggY.toSeq.map(w => w.count(isAsciiLetter)).sum
+    var asciiCount = 0
+    var gi = 0
+    while (gi < ggY.size) {
+      val w = ggY.get(gi)
+      var ci = 0
+      while (ci < w.length) { if (isAsciiLetter(w.charAt(ci))) asciiCount += 1; ci += 1 }
+      gi += 1
+    }
     if (ggY.size * asciiCount > 12) {
-      if (!eng.contains(ggY.toArray.sorted.mkString(" "))) {
-        if (ggX.nonEmpty) {
-          val posGoodY = ggY.toSeq.map(posY(_))
-          val posGoodX = ggX.toSeq.map(posX(_))
-          if (posGoodY.size == 1 + posGoodY.max - posGoodY.min &&
-              posGoodX.size == 1 + posGoodX.max - posGoodX.min) {
-            if (goodY.contains(y(0)) && !eng.contains(y(0))) {
+      val sortedGgY = {
+        val arr = ggY.toArray(new Array[String](ggY.size))
+        java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[String]())
+        arr.mkString(" ")
+      }
+      if (!eng.contains(sortedGgY)) {
+        if (!ggX.isEmpty) {
+          var minY = Int.MaxValue; var maxY = Int.MinValue
+          gi = 0
+          while (gi < ggY.size) {
+            val p = aa.posFirst(ggY.get(gi))
+            if (p < minY) minY = p
+            if (p > maxY) maxY = p
+            gi += 1
+          }
+          var minX = Int.MaxValue; var maxX = Int.MinValue
+          gi = 0
+          while (gi < ggX.size) {
+            val p = ba.posLast(ggX.get(gi))
+            if (p < minX) minX = p
+            if (p > maxX) maxX = p
+            gi += 1
+          }
+          if (ggY.size == 1 + maxY - minY && ggX.size == 1 + maxX - minX) {
+            if (goodY.contains(y(0)) && !aa.tokIsEng(0)) {
               if (scoreX(1) > 89 && x.length == 1) return 4
               else if (x.length > 1) {
                 if (scoreX(1) > 89 && scoreX(2) > 89) return 4
@@ -213,7 +279,7 @@ object MatchCascade extends Serializable {
             } else {
               if (intl.contains(y(0)) && scoreX(1) > 93) {
                 if (hasBadX) {
-                  if (y(1).take(3) == x(0).take(3)) return 5
+                  if (Fuzz.prefixEq(y(1), x(0), 3)) return 5
                 } else return 55
               }
             }
@@ -223,21 +289,42 @@ object MatchCascade extends Serializable {
     }
 
     // two-token gate (matcher.py:309-332)
-    val _x = x.toSet -- suffix
-    val _y = y.toSet -- suffix
-    if (_x.size > 1 && _y.size > 1) {
-      if (tokenSortRatioSeq(scala.collection.immutable.ArraySeq(x(0), x(1)),
-          scala.collection.immutable.ArraySeq(y(0), y(1))) > 84) {
+    val nX = ba.nonSuffixDistinct.length
+    val nY = aa.nonSuffixDistinct.length
+    if (nX > 1 && nY > 1) {
+      // token_sort_ratio([x0,x1],[y0,y1]) — elementwise Indel over the
+      // 2-token sequences (rapidfuzz list semantics)
+      val pairGate = {
+        val lcs =
+          if (x(0) == y(0) && x(1) == y(1)) 2
+          else if (x(0) == y(0) || x(0) == y(1) || x(1) == y(0) || x(1) == y(1)) 1
+          else 0
+        // seq Indel ratio of two 2-token lists: 100·(1 − (4−2·LCS)/4)
+        100.0 * (1.0 - (4 - 2 * lcs) / 4.0)
+      }
+      if (pairGate > 84) {
         if (x(0) == y(0) && !hasBadX) return 8
-        if (!eng.contains(x.take(2).mkString(" ")) && !eng.contains(y.take(2).mkString(" "))) {
-          if (eng.contains(x(0)) && eng.contains(x(1)) &&
-              eng.contains(y(0)) && eng.contains(y(1))) {
-            if ((_y -- goodY -- commonAbbr).nonEmpty && hasBadX) return -19
+        if (!ba.first2InEng && !aa.first2InEng) {
+          if (ba.tokIsEng(0) && ba.tokIsEng(1) && aa.tokIsEng(0) && aa.tokIsEng(1)) {
+            var exists = false
+            var i = 0
+            while (!exists && i < aa.nonSuffixDistinct.length) {
+              val t = aa.nonSuffixDistinct(i)
+              if (!goodY.contains(t) && !commonAbbr.contains(t)) exists = true
+              i += 1
+            }
+            if (exists && hasBadX) return -19
           }
           if (jaroWinkler(x(0), y(0)) > 0.97 && jaroWinkler(x(1), y(1)) > 0.94) {
             if (!intl.contains(x(0)) && !intl.contains(y(1))) {
               if (hasBadX) {
-                if ((_y -- goodY).isEmpty) return 91
+                var all = true
+                var i = 0
+                while (all && i < aa.nonSuffixDistinct.length) {
+                  if (!goodY.contains(aa.nonSuffixDistinct(i))) all = false
+                  i += 1
+                }
+                if (all) return 91
               } else return 9
             }
           }
@@ -246,40 +333,38 @@ object MatchCascade extends Serializable {
     }
 
     // single-token names (matcher.py:334-349)
-    if (_x.size == 1 && _y.size == 1) {
+    if (nX == 1 && nY == 1) {
       if (jaroWinkler(x(0), y(0)) > 0.97 && x(0).length > 7 &&
           math.abs(x(0).length - y(0).length) <= 1) {
-        // Python chained comparison at :337 is provably always False →
-        // +11 unreachable; −12 always taken.
+        // chained comparison at :337 provably always False → −12 always
         return -12
       }
       if (x(0).length >= 5 && y(0).length >= 5) {
-        if (x(0).take(5) == y(0).take(5) &&
-            x(0).takeRight(3) == y(0).takeRight(3) &&
+        if (Fuzz.prefixEq(x(0), y(0), 5) &&
+            Fuzz.suffixEq(x(0), y(0), 3) &&
             math.abs(x(0).length - y(0).length) <= 1) return 12
-        if (x(0).takeRight(5) == y(0).takeRight(5) &&
-            x(0).take(3) == y(0).take(3) &&
+        if (Fuzz.suffixEq(x(0), y(0), 5) &&
+            Fuzz.prefixEq(x(0), y(0), 3) &&
             math.abs(x(0).length - y(0).length) <= 1) return 13
       }
     }
 
     // lone good_y re-check (matcher.py:351-357)
     if (goodY.size == 1) {
-      val goodWy = wPlusFirst(goodY.head)
+      val goodWy = wPlusFirst(goodY.iterator().next())
       if (goodWy != null) {
         if (commonAbbr12.contains(goodWy)) return -8 else return -18
       }
     }
-    val remainingX = x.toSet -- commonAbbr -- suffix
-    if (remainingX.isEmpty) return -10
-    if (remainingX.size == 1 && remainingX.head.length == 1) return -11
+    if (ba.remainingNonAbbrSuffix.isEmpty) return -10
+    if (ba.remainingNonAbbrSuffix.length == 1 &&
+        ba.remainingNonAbbrSuffix(0).length == 1) return -11
 
     -15
   }
 
   /** match_test (matcher.py:369-377): normalize, prefilter, score.
-    * Returns None-equivalent as Int.MinValue sentinel when either name
-    * normalizes away or the prefilter fails. */
+    * NoScore when either name normalizes away or the prefilter fails. */
   val cutoff = 50
   final val NoScore = Int.MinValue
 

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.expr.{functions => gf}
+import graft.pages.Extract
+
+/** Structured-Streaming face of the engine (SURVEY.md §2.9): the
+  * reference's 10M-row chunk loop (match_pair.py:50-58) becomes a
+  * streaming source with exactly-once sinks; incremental crawls flow
+  * through the same extract → normalize → block path as batch.
+  *
+  *  - `streamingMentions`: readStream over a pages directory →
+  *    mention extraction + normalization + blocking keys (stateless,
+  *    append mode — shares all batch expressions);
+  *  - `windowedMentionCounts`: watermarked event-time windows over
+  *    crawl timestamps (observability of an ongoing crawl);
+  *  - `dedupedMentions`: stateful exact-dedup on (name) via
+  *    mapGroupsWithState — first occurrence wins, state times out
+  *    after `stateTimeoutMs` so unbounded keys don't accumulate.
+  */
+/** Per-key dedup state (top-level: nested case classes break encoder
+  * codegen). */
+case class SeenState(firstUrl: String)
+
+object StreamingPipeline {
+
+  /** Streaming extract+normalize+block over a parquet pages dir. */
+  def streamingMentions(spark: SparkSession, pagesDir: String): DataFrame = {
+    val pages = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+    val mentions = pages
+      .select(col("url"), col("warc_ts"),
+        explode(split(Extract.extract_text(col("html")), "\n")).as("line"))
+      .where(col("line").startsWith("Company: "))
+      .select(col("url"), col("warc_ts"),
+        expr("substring(line, 10)").as("name"))
+    mentions
+      .withColumn("pre_proc", gf.normalize_name(col("name")))
+      .na.drop(Seq("pre_proc"))
+      .withColumn("keys", gf.blocking_keys(col("pre_proc")))
+  }
+
+  /** Watermarked per-window mention counts (event time = warc_ts). */
+  def windowedMentionCounts(mentions: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    mentions
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowLen), col("pre_proc"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Stateful first-occurrence dedup by normalized name. */
+  def dedupedMentions(spark: SparkSession, mentions: DataFrame,
+      stateTimeoutMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    mentions.select(col("pre_proc").as[String], col("url").as[String])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[SeenState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            (key, null: String, 0L)
+          } else {
+            val fresh = !state.exists
+            val first = if (fresh) {
+              val f = rows.next()._2
+              state.update(SeenState(f))
+              state.setTimeoutDuration(stateTimeoutMs)
+              f
+            } else state.get.firstUrl
+            val dups = rows.size + (if (fresh) 0 else 0)
+            (key, first, dups.toLong)
+          }
+        })
+      .toDF("pre_proc", "first_url", "dups_in_batch")
+  }
+}

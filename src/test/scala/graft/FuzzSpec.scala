@@ -54,6 +54,23 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("prefilter short-circuit is decision-identical to token_set_ratio > cutoff") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = Csv.records("golden/cascade_golden.csv")
+      .filter(r => r("a_norm").nonEmpty && r("b_norm").nonEmpty)
+    val cuts = Seq(30.0, 50.0, 80.0)
+    rows.foreach { r =>
+      val a = graft.text.Normalizer.removeSuffix(r("a_norm"))
+      val b = graft.text.Normalizer.removeSuffix(r("b_norm"))
+      cuts.foreach { c =>
+        val want = Fuzz.tokenSetRatio(a, b) > c
+        val got = Fuzz.tokenSetRatioGtUtf8(
+          UTF8String.fromString(a), UTF8String.fromString(b), c)
+        assert(got == want, s"<$a> <$b> cutoff=$c")
+      }
+    }
+  }
+
   test("token ratios: order-insensitive for token_sort; subset=100 for token_set") {
     assert(Fuzz.tokenSortRatio("ab cd ef", "ef cd ab") == 100.0)
     assert(Fuzz.tokenSetRatio("general electric inc", "general electric") == 100.0)

@@ -20,6 +20,26 @@ class LocationSpec extends AnyFunSuite {
     }
   }
 
+  test("fast matcher equals reference regex on 6k generator + recombined names") {
+    val base = (0 until 1000).map(i =>
+      graft.text.Normalizer.namePreprocessing(
+        graft.pages.PagesGen.mentionName(i / 4, i % 4), removePeople = false))
+      .filter(n => n != null && n.nonEmpty)
+    val rnd = new scala.util.Random(7)
+    val locWords = Seq("york", "san", "jose", "paz", "st", "poelten", "leandro",
+      "alem", "beijing", "escaldes", "countries", "zuwarah", "andorra", "la", "vella")
+    val recombined = (0 until 5000).map { _ =>
+      val toks = (0 until 1 + rnd.nextInt(5)).map { _ =>
+        if (rnd.nextBoolean()) locWords(rnd.nextInt(locWords.length))
+        else base(rnd.nextInt(base.length)).split(" ").head
+      }
+      toks.mkString(" ")
+    }
+    (base ++ recombined).foreach { n =>
+      assert(Dictionaries.hasLocation(n) == ref(n), s"name=<$n>")
+    }
+  }
+
   test("edge cases") {
     val cases = Seq(
       "les escaldes something",      // first alternative (no leading \b)

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pages.PagesGen
+import graft.streaming.StreamingPipeline
+
+/** Streaming extract/normalize/dedup driven synchronously through the
+  * memory sink (batch parquet as a bounded stream). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming mentions + windowed counts over a pages directory") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    PagesGen.generate(spark, 50, 4).write.mode("overwrite").parquet(dir)
+
+    val mentions = StreamingPipeline.streamingMentions(spark, dir)
+    assert(mentions.isStreaming)
+    val q = StreamingPipeline.windowedMentionCounts(mentions)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM win_counts").collect()
+    assert(rows.nonEmpty)
+    val total = spark.sql("SELECT sum(n) FROM win_counts").as[Long].head()
+    assert(total == 200) // 50 entities × 4 mentions
+  }
+
+  test("stateful dedup emits one first_url per distinct normalized name") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    PagesGen.generate(spark, 30, 4).write.mode("overwrite").parquet(dir)
+    val mentions = StreamingPipeline.streamingMentions(spark, dir)
+    val q = StreamingPipeline.dedupedMentions(spark, mentions)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT pre_proc, first_url FROM dedup WHERE first_url IS NOT NULL")
+      .as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one state row per name")
+  }
+}
