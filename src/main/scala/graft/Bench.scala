@@ -131,13 +131,17 @@ object Bench {
     // best-of-3 interleaved (the sandbox box is virtualized and
     // noisy; max estimates capability, interleaving decorrelates
     // neighbor interference from the level being measured)
+    // position-balanced order (sustained load slowly degrades this VM,
+    // so neither level may own the cold slots): 32,8,8,32,32,8
     val candPath = "/tmp/graft_bench_pairs"
     val runs8 = new scala.collection.mutable.ArrayBuffer[Double]
     val runs32 = new scala.collection.mutable.ArrayBuffer[Double]
-    (1 to 3).foreach { _ =>
-      runs8 += timeScoring(8, candPath)
-      runs32 += timeScoring(32, candPath)
-    }
+    runs32 += timeScoring(32, candPath)
+    runs8 += timeScoring(8, candPath)
+    runs8 += timeScoring(8, candPath)
+    runs32 += timeScoring(32, candPath)
+    runs32 += timeScoring(32, candPath)
+    runs8 += timeScoring(8, candPath)
     val tput8 = runs8.max
     val tput32 = runs32.max
     results("pairs_per_sec_c8") = tput8
