@@ -60,18 +60,28 @@ object MatchCascade extends Serializable {
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** ratio(s1,s2) > 89, with the length-difference upper bound taken
+    * before the DP (sound: ratio ≤ 100·(1−|Δ|/lensum)). */
+  private def ratioGt89(s1: String, s2: String): Boolean = {
+    val lensum = s1.length + s2.length
+    if (lensum == 0) return true // ratio = 100
+    if (100.0 * (1.0 - math.abs(s1.length - s2.length).toDouble / lensum) <= 89.0)
+      return false
+    ratio(s1, s2) > 89
+  }
+
   /** check_double (matcher.py:66-81). True ⇔ Python returns False. */
   private def checkDoubleRejects(a: Array[String], b: Array[String]): Boolean = {
     var i = 0
     while (i < a.length - 1) {
       val a1 = a(i); val a2 = a(i + 1)
-      if (ratio(a1, a2) > 89 && !(suffix.contains(a1) || suffix.contains(a2))) {
+      if (ratioGt89(a1, a2) && !(suffix.contains(a1) || suffix.contains(a2))) {
         var j = 0
         var broke = false
         while (j < b.length - 1 && !broke) {
           val b1 = b(j); val b2 = b(j + 1)
-          if (ratio(b1, b2) > 89 && !(suffix.contains(b1) || suffix.contains(b2))) {
-            if (ratio(a1, b1) <= 89) return true
+          if (ratioGt89(b1, b2) && !(suffix.contains(b1) || suffix.contains(b2))) {
+            if (!ratioGt89(a1, b1)) return true
             else broke = true
           }
           j += 1
@@ -142,7 +152,18 @@ object MatchCascade extends Serializable {
       var n = 1
       while (n <= y.length) {
         val wy = y(n - 1)
-        val sc = ratio(wx, wy)
+        // Sound skip: ratio(wx,wy) ≤ ub = 100·(1−|Δlen|/lensum). When
+        // ub < 75 the pair can neither clear any goodX threshold
+        // (75/89/92) nor shift any score_x comparison (80/89/93), so
+        // the O(n·m) DP is skipped; `any` still flips (Python appends
+        // a score for every wy, matcher.py:193-194) and best stays a
+        // value < 75, which is decision-equivalent for every later
+        // comparison.
+        val lensum = wx.length + wy.length
+        val ub =
+          if (lensum == 0) 100.0
+          else 100.0 * (1.0 - math.abs(wx.length - wy.length).toDouble / lensum)
+        val sc = if (ub < 75.0) 0.0 else ratio(wx, wy)
         if (!any || sc > best) best = sc
         any = true
         if (!aa.tokIsSuffix(n - 1)) {
@@ -151,7 +172,13 @@ object MatchCascade extends Serializable {
           if (sc > threshold && wx.charAt(0) == wy.charAt(0) &&
               !(wy.charAt(wy.length - 1) >= '0' && wy.charAt(wy.length - 1) <= '9'))
             goodX.add(wx)
-          if (jaroWinkler(wx, wy) > 0.92) goodY.add(wy)
+          // jw ≤ ubJaro + 0.4·(1−ubJaro) with ubJaro = (min/max + 2)/3;
+          // skip when that bound can't exceed 0.92 (min/max ≤ 0.6)
+          val mn = math.min(wx.length, wy.length).toDouble
+          val mx = math.max(wx.length, wy.length).toDouble
+          val ubJaro = (mn / mx + 2.0) / 3.0
+          if (ubJaro + 0.4 * (1.0 - ubJaro) > 0.92 &&
+              jaroWinkler(wx, wy) > 0.92) goodY.add(wy)
         }
         n += 1
       }
