@@ -97,10 +97,11 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // part 1: headline queries
-    val headline = Seq("er_clusters", "er_edges", "q1_pricing", "q2_order_counts",
-      "q3_window_latest", "q4_events_hourly", "q6_dedup_exact", "q8_char_jaccard",
-      "q9_dedup_minhash", "q10_dedup_simhash", "q13_token_df", "q14_lang_quality",
-      "q15_ann_range", "q16_ann_topk", "q18_cc_copurchase", "q20_media_features")
+    val headline = Seq("er_clusters", "er_edges", "er_match", "q1_pricing",
+      "q2_order_counts", "q3_window_latest", "q4_events_hourly", "q6_dedup_exact",
+      "q8_char_jaccard", "q9_dedup_minhash", "q10_dedup_simhash", "q11_cosine_dedup",
+      "q13_token_df", "q14_lang_quality", "q15_ann_range", "q16_ann_topk",
+      "q18_cc_copurchase", "q20_media_features", "q23_tfidf_cosine")
     val s1 = session(cpus)
     try {
       headline.foreach { name =>

@@ -8,6 +8,7 @@ import graft.expr.{functions => gf}
 import graft.ops.{AnnOps, DedupOps, MediaOps, TextOps}
 import graft.pages.PagesGen
 import graft.pipeline.Pipeline
+import graft.score.TfIdf
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), with a DuckDB oracle wherever the semantics are
@@ -17,9 +18,18 @@ import graft.pipeline.Pipeline
   * Two input families:
   *  - `er_*`: the record-linkage engine over the BASELINE input_hint
   *    `pages` table, synthesized deterministically at an sf-scaled
-  *    size (no oracle — custom semantics; driver does rows-only);
+  *    size. The custom stages (normalization cascade, match cascade)
+  *    are not SQL-expressible, so Verify COMMITS their deterministic
+  *    inputs/outputs as parquet (`__OUTDIR__/_input_*`) and the
+  *    oracles verify every relational skeleton — extraction split,
+  *    memo join-back, blocking census, capped candidate join,
+  *    connected components (recursive CTE), person postfilter —
+  *    against those committed tables;
   *  - `q_*`: relational / dedup / text / ANN operators over the
-  *    driver's parquet tables, oracle-checked.
+  *    driver's parquet tables, oracle-checked the same way.
+  *
+  * `__OUTDIR__` in oracleSql is substituted by Verify with the actual
+  * output directory before the driver hands the SQL to DuckDB.
   */
 object SparkEntry {
 
@@ -30,16 +40,24 @@ object SparkEntry {
     if (i < 0) 0.001 else dir.substring(i + 2).takeWhile(c => c.isDigit || c == '.').toDouble
   }
 
+  /** Entity count scaled to the sf directory. */
+  def entityCountFor(dir: String): Long =
+    math.max(200L, math.min(8000L, (sfOf(dir) * 80000).toLong))
+
   /** Deterministic pages corpus scaled to the sf directory. */
-  def pagesFor(spark: SparkSession, dir: String): DataFrame = {
-    val n = math.max(200L, math.min(8000L, (sfOf(dir) * 80000).toLong))
-    PagesGen.generate(spark, n, mentionsPerEntity = 4)
-  }
+  def pagesFor(spark: SparkSession, dir: String): DataFrame =
+    PagesGen.generate(spark, entityCountFor(dir), mentionsPerEntity = 4)
 
   private def mentionsNorm(s: SparkSession, dir: String): DataFrame = {
     val m = Pipeline.extractMentions(pagesFor(s, dir))
     Pipeline.normalize(m.select(col("mention_id").as("id"), col("name")))
   }
+
+  /** Pre-blocked pair table over the mention ids (match_pair.py's
+    * input contract): deterministic mod-bucket pairs. */
+  private def modPairs(n: DataFrame): DataFrame =
+    n.select(col("id").as("id_a")).join(n.select(col("id").as("id_b")),
+        col("id_a") % 97 === col("id_b") % 97 && col("id_a") < col("id_b"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extract → normalize → block → score → cluster dataflow. */
@@ -48,7 +66,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- record-linkage engine over the input_hint pages table ----
-    "er_extract" -> ((s, dir) => Pipeline.extractMentions(pagesFor(s, dir))),
+    "er_extract" -> ((s, dir) =>
+      Pipeline.extractMentions(pagesFor(s, dir)).select("url", "name")),
     "er_normalize" -> ((s, dir) => mentionsNorm(s, dir)),
     "er_blocking" -> ((s, dir) =>
       Pipeline.withBlockingKeys(mentionsNorm(s, dir))
@@ -67,12 +86,27 @@ object SparkEntry {
     "er_pair_mode" -> ((s, dir) => {
       // match_pair.py contract: pre-blocked (a,b) pairs → accepted edges
       val n = mentionsNorm(s, dir)
-      val pairs = n.as("a").join(n.as("b"),
-        col("a.id") % 97 === col("b.id") % 97 && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.pre_proc").as("pre_a"), col("b.pre_proc").as("pre_b"),
-          col("a.nosuffix").as("nos_a"), col("b.nosuffix").as("nos_b"))
-      Pipeline.scoreCandidates(pairs).select("id_a", "id_b")
+      Pipeline.scoreCandidates(Pipeline.attachNames(modPairs(n), n))
+        .select("id_a", "id_b")
+    }),
+    "er_match" -> ((s, dir) => {
+      // matcher.py's primary two-sided flow (matcher.py:381-394):
+      // extracted mentions × canonical base universe → 5-col output
+      // (main_idx, main_name, base_idx, base_name, token_sort_ratio)
+      val mentions = Pipeline.extractMentions(pagesFor(s, dir))
+      val main = Pipeline.normalize(
+        mentions.select(col("mention_id").as("id"), col("name")))
+      val baseRaw = PagesGen.baseUniverse(s, entityCountFor(dir))
+      val base = Pipeline.normalize(baseRaw)
+      val edges = Pipeline.scoreCandidates(Pipeline.candidatesTwoSided(main, base))
+      edges
+        .join(mentions.select(col("mention_id").as("id_a"), col("name").as("main_name")),
+          Seq("id_a"))
+        .join(baseRaw.select(col("id").as("id_b"), col("name").as("base_name")),
+          Seq("id_b"))
+        .select(col("id_a").as("main_idx"), col("main_name"),
+          col("id_b").as("base_idx"), col("base_name"),
+          col("score").as("token_sort_ratio"))
     }),
 
     // ---- relational skeleton over driver tables (oracled) ----
@@ -165,10 +199,12 @@ object SparkEntry {
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), threshold = 0.25)),
     "q16_ann_topk" -> ((s, dir) =>
       AnnOps.bruteKnn(s.read.parquet(t(dir, "embeddings")),
-        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .withColumn("rank", col("rank").cast("long"))),
     "q17_ann_lsh" -> ((s, dir) =>
       AnnOps.lshKnn(s.read.parquet(t(dir, "embeddings")),
-        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 8)),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 8)
+        .withColumn("rank", col("rank").cast("long"))),
 
     // ---- clustering (oracled via recursive CTE) ----
     "q18_cc_copurchase" -> ((s, dir) => {
@@ -194,6 +230,10 @@ object SparkEntry {
         .union(graft.text.LegacyVariants.rareAdjacentPairs(n, "pre_proc")
           .select(col("pair").as("token"), col("df")))
     }),
+    "q23_tfidf_cosine" -> ((s, dir) => {
+      val n = mentionsNorm(s, dir)
+      TfIdf.pairCosine(modPairs(n), n, "id", "pre_proc")
+    }),
 
     // ---- multimodal plumbing ----
     "q19_media_meta" -> ((s, dir) =>
@@ -206,7 +246,68 @@ object SparkEntry {
           col("width"), col("height")))
   )
 
+  // Shorthands for the committed oracle-input tables (written by
+  // Verify; __OUTDIR__ substituted there).
+  private val P = "read_parquet('__OUTDIR__/_input_pages/*.parquet')"
+  private val M = "read_parquet('__OUTDIR__/_input_mentions/*.parquet')"
+  private val MEMO = "read_parquet('__OUTDIR__/_input_norm_memo/*.parquet')"
+  private val KEYED = "read_parquet('__OUTDIR__/_input_keyed/*.parquet')"
+  private val EDGES = "read_parquet('__OUTDIR__/_input_edges/*.parquet')"
+  private val PDICT = "read_parquet('__OUTDIR__/_input_persondict/*.parquet')"
+  private val MHB = "read_parquet('__OUTDIR__/_input_mh_bands/*.parquet')"
+  private val SIMH = "read_parquet('__OUTDIR__/_input_simhash/*.parquet')"
+  private val SRP = "read_parquet('__OUTDIR__/_input_srp/*.parquet')"
+
+  /** Person-detector CTE body (postproc-ppl.py:4-24): `First M. Last`
+    * regex on the raw name, or every word token in the first∪sur set.
+    * Expects a CTE `m(mention_id, …, name)` in scope. */
+  private val personsCte =
+    s"""ptoks AS (SELECT mention_id, unnest(regexp_extract_all(name, '\\w+')) AS tok FROM m),
+       |has_oov AS (SELECT DISTINCT mention_id FROM ptoks
+       |            WHERE lower(tok) NOT IN (SELECT w FROM $PDICT)),
+       |persons AS (
+       |  SELECT mention_id FROM m WHERE regexp_matches(name, '^\\w{4,} \\w\\. \\w{4,}$$')
+       |  UNION
+       |  SELECT mention_id FROM m
+       |  WHERE mention_id NOT IN (SELECT mention_id FROM has_oov))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "er_extract" ->
+      s"""SELECT url, substring(line, 10) AS name
+         |FROM (SELECT url, unnest(string_split(text, chr(10))) AS line FROM $P)
+         |WHERE line LIKE 'Company: %'""".stripMargin,
+    "er_normalize" ->
+      s"""SELECT m.mention_id AS id, m.name, d.pre_proc, d.nosuffix
+         |FROM $M m JOIN $MEMO d USING (name)""".stripMargin,
+    "er_blocking" ->
+      s"SELECT key, COUNT(*) AS block_size FROM $KEYED GROUP BY key",
+    "er_candidates" ->
+      s"""WITH keyed AS (SELECT * FROM $KEYED),
+         |hot AS (SELECT key FROM keyed GROUP BY key HAVING COUNT(*) > 200),
+         |ok AS (SELECT * FROM keyed WHERE key NOT IN (SELECT key FROM hot))
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM ok a JOIN ok b ON a.key = b.key AND a.id < b.id""".stripMargin,
+    "er_person_filter" ->
+      s"""WITH m AS (SELECT * FROM $M),
+         |$personsCte
+         |SELECT mention_id, name FROM m
+         |WHERE mention_id NOT IN (SELECT mention_id FROM persons)""".stripMargin,
+    "er_clusters" ->
+      s"""WITH RECURSIVE m AS (SELECT * FROM $M),
+         |verts AS (SELECT m.mention_id AS id FROM m JOIN $MEMO d USING (name)),
+         |e AS (SELECT id_a AS a, id_b AS b FROM $EDGES),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+         |allc AS (SELECT v.id, COALESCE(c.component, v.id) AS component
+         |         FROM verts v LEFT JOIN comp c USING (id)),
+         |$personsCte
+         |SELECT m.mention_id, m.url, a.component
+         |FROM m JOIN allc a ON m.mention_id = a.id
+         |WHERE m.mention_id NOT IN (SELECT mention_id FROM persons)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -245,6 +346,46 @@ object SparkEntry {
         |  ON a.source = b.source
         | AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 40
         |WHERE jaccard(a.text, b.text) >= 0.9""".stripMargin,
+    "q9_dedup_minhash" ->
+      s"""WITH m AS (SELECT mention_id AS id, name AS text FROM $M),
+         |bands AS (SELECT * FROM $MHB),
+         |hot AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) > 1000),
+         |ok AS (SELECT * FROM bands WHERE band NOT IN (SELECT band FROM hot)),
+         |ids AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |        FROM ok a JOIN ok b ON a.band = b.band AND a.id < b.id),
+         |sh AS (SELECT id, list_distinct(
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_transform(range(1, len(t) - 1),
+         |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+         |  FROM (SELECT id, regexp_extract_all(lower(text), '\\S+') AS t FROM m))
+         |SELECT id_a, id_b FROM ids
+         |JOIN sh a ON ids.id_a = a.id JOIN sh b ON ids.id_b = b.id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(a.s || b.s)) >= 0.6""".stripMargin,
+    "q10_dedup_simhash" ->
+      s"""WITH s AS (SELECT * FROM $SIMH),
+         |banded AS (SELECT id, sig, r.range AS band_idx,
+         |           (sig >> CAST(r.range * 8 AS INTEGER)) & 255 AS band_val
+         |           FROM s CROSS JOIN range(0, 8) r),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                 a.sig AS sig_a, b.sig AS sig_b
+         |          FROM banded a JOIN banded b
+         |            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |           AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 6""".stripMargin,
+    "q11_cosine_dedup" ->
+      s"""WITH c AS (SELECT * FROM $SRP),
+         |hot AS (SELECT tbl, code FROM c GROUP BY tbl, code HAVING COUNT(*) > 2000),
+         |ok AS (SELECT * FROM c WHERE NOT EXISTS
+         |       (SELECT 1 FROM hot WHERE hot.tbl = c.tbl AND hot.code = c.code)),
+         |ids AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |        FROM ok a JOIN ok b ON a.tbl = b.tbl AND a.code = b.code
+         |        AND a.id < b.id),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT id_a, id_b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+         |FROM ids JOIN e ea ON ids.id_a = ea.vec_id JOIN e eb ON ids.id_b = eb.vec_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35""".stripMargin,
     "q12_doc_stats" ->
       """SELECT doc_id,
         |CAST(LENGTH(text) AS BIGINT) AS n_chars,
@@ -266,6 +407,35 @@ object SparkEntry {
         |WHERE e.vec_id <> q.query_id
         |AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |    CAST(q.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
+    "q16_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id,
+        |ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "q17_ann_lsh" ->
+      s"""WITH c AS (SELECT id, code FROM $SRP WHERE tbl = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT id AS query_id, code AS qcode FROM c WHERE id IN (0,1,2,3,4)),
+         |probes AS (SELECT query_id, unnest(list_prepend(qcode,
+         |  list_transform(range(0, 8), b -> xor(qcode, CAST(1 << b AS INTEGER))))) AS code
+         |  FROM q),
+         |cand AS (SELECT DISTINCT p.query_id, c.id AS neighbor_id
+         |  FROM probes p JOIN c ON p.code = c.code WHERE c.id <> p.query_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  list_cosine_similarity(eq.v, en.v) AS cos
+         |  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+         |  JOIN e en ON cand.neighbor_id = en.vec_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id,
+         |ROUND(cos, 4) AS cosine
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+         |WHERE rn <= 10""".stripMargin,
     "q18_cc_copurchase" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
@@ -286,6 +456,42 @@ object SparkEntry {
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |ELSE 'wav' END AS format,
         |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q22_rare_tokens" ->
+      s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
+         |n AS (SELECT m.id, d.pre_proc FROM m JOIN $MEMO d USING (name)),
+         |tok AS (SELECT unnest(string_split(pre_proc, ' ')) AS word FROM n),
+         |rare1 AS (SELECT word AS token, COUNT(*) AS df FROM tok
+         |          WHERE word <> '' GROUP BY word HAVING COUNT(*) <= 2),
+         |ts AS (SELECT string_split(pre_proc, ' ') AS t FROM n),
+         |prs AS (SELECT unnest(list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i+1])) AS pair FROM ts),
+         |rare2 AS (SELECT pair AS token, COUNT(*) AS df FROM prs
+         |          GROUP BY pair HAVING COUNT(*) <= 2)
+         |SELECT token, df FROM rare1 UNION ALL SELECT token, df FROM rare2""".stripMargin,
+    "q23_tfidf_cosine" ->
+      s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
+         |n AS (SELECT m.id, d.pre_proc FROM m JOIN $MEMO d USING (name)),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM n a JOIN n b
+         |          ON a.id % 97 = b.id % 97 AND a.id < b.id),
+         |tf AS (SELECT id, word, COUNT(*) AS tf FROM
+         |  (SELECT id, unnest(string_split(pre_proc, ' ')) AS word FROM n)
+         |  WHERE word <> '' GROUP BY id, word),
+         |nd AS (SELECT COUNT(DISTINCT id) AS n_docs FROM tf),
+         |idf AS (SELECT word, ln(CAST(n_docs AS DOUBLE) / COUNT(*)) AS idf
+         |        FROM tf, nd GROUP BY word, n_docs),
+         |w AS (SELECT tf.id, tf.word, CAST(tf.tf AS DOUBLE) * idf.idf AS w
+         |      FROM tf JOIN idf USING (word)),
+         |nrm AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY id),
+         |dots AS (SELECT p.id_a, p.id_b, SUM(wa.w * wb.w) AS dot
+         |  FROM pairs p JOIN w wa ON p.id_a = wa.id
+         |  JOIN w wb ON p.id_b = wb.id AND wa.word = wb.word
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT p.id_a, p.id_b,
+         |ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0
+         |      ELSE COALESCE(d.dot, 0) / (na.nrm * nb.nrm) END, 6) AS tfidf_cosine
+         |FROM pairs p
+         |LEFT JOIN dots d ON p.id_a = d.id_a AND p.id_b = d.id_b
+         |JOIN nrm na ON p.id_a = na.id JOIN nrm nb ON p.id_b = nb.id""".stripMargin
   )
 }

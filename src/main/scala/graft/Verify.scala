@@ -1,11 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+import graft.pipeline.Pipeline
+
+/** Driver-run correctness dump: each SparkEntry.queries result →
+  * parquet, plus oracle_sql.json for the driver's DuckDB compare.
+  *
+  * The ER stages run over an in-engine deterministic `pages` corpus
+  * DuckDB cannot regenerate, and several dedup/ANN stages hinge on
+  * custom signatures (minhash bands, simhash, SRP codes). So Verify
+  * COMMITS those deterministic intermediates as parquet `_input_*`
+  * tables in outDir; the oracle SQL reads them via read_parquet and
+  * verifies every relational skeleton downstream of them (VERDICT.md
+  * round-1 item 1). `__OUTDIR__` placeholders in SparkEntry.oracleSql
+  * are substituted with the real outDir here.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir0) = args
+    val outDir = new java.io.File(outDir0).getAbsolutePath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,6 +33,39 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    def dump(name: String)(df: => DataFrame): Unit =
+      try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dump $name failed: ${e.getMessage}")
+      }
+
+    // ---- committed oracle-input tables (deterministic engine state) ----
+    val pages = SparkEntry.pagesFor(spark, sfDir)
+    val mentions = Pipeline.extractMentions(pages).persist()
+    val mentionIds = mentions.select(col("mention_id").as("id"), col("name"))
+    val memo = Pipeline.normalizeMemo(mentionIds).persist()
+    val norm = mentionIds.join(memo, Seq("name")).persist()
+
+    dump("_input_pages")(pages.select("url", "text"))
+    dump("_input_mentions")(mentions)
+    dump("_input_norm_memo")(memo)
+    dump("_input_keyed")(Pipeline.withBlockingKeys(norm).select("id", "key"))
+    dump("_input_edges")(
+      Pipeline.scoreCandidates(Pipeline.candidatesSelf(norm)).select("id_a", "id_b"))
+    dump("_input_persondict") {
+      import spark.implicits._
+      (graft.text.Dictionaries.firstNames ++ graft.text.Dictionaries.surNames)
+        .toSeq.toDF("w")
+    }
+    val mentionText = mentions.select(col("mention_id").as("id"), col("name").as("text"))
+    dump("_input_mh_bands")(DedupOps.minhashBandTable(mentionText, "id", "text"))
+    dump("_input_simhash")(DedupOps.simhashTable(mentionText, "id", "text"))
+    dump("_input_srp")(DedupOps.srpCodeTable(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+      bits = 8, tables = 2))
+
+    // ---- query results ----
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -22,6 +73,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +87,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

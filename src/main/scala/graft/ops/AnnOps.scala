@@ -52,8 +52,10 @@ object AnnOps {
     GraftBridge.column(CosineExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Deterministic random hyperplanes: component h[j][i] derived from
-    * mix64(seed, j, i), mapped to ±1. Sign pattern → bits-bit code. */
-  def srpCodeOf(v: ArrayData, bits: Int): Int = {
+    * mix64(seed, j, i), mapped to ±1. Sign pattern → bits-bit code.
+    * `rowOffset` selects a disjoint slice of the shared hyperplane
+    * family (multi-table LSH); offset 0 is the canonical code. */
+  def srpCodeOf(v: ArrayData, bits: Int, rowOffset: Int = 0): Int = {
     var code = 0
     var j = 0
     while (j < bits) {
@@ -61,7 +63,7 @@ object AnnOps {
       var i = 0
       val n = v.numElements()
       while (i < n) {
-        val h = TextOps.mix64(0x5eedc0deL + j * 1315423911L + i)
+        val h = TextOps.mix64(0x5eedc0deL + (j + rowOffset) * 1315423911L + i)
         val sign = if ((h & 1L) == 0L) 1.0 else -1.0
         dot += sign * v.getFloat(i)
         i += 1
@@ -72,16 +74,20 @@ object AnnOps {
     code
   }
 
-  case class SrpCode(child: Expression, bits: Int)
+  case class SrpCode(child: Expression, bits: Int, rowOffset: Int = 0)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(v: Any): Any = srpCodeOf(v.asInstanceOf[ArrayData], bits)
+    override def nullSafeEval(v: Any): Any =
+      srpCodeOf(v.asInstanceOf[ArrayData], bits, rowOffset)
     override def prettyName: String = "srp_code"
     override protected def withNewChildInternal(c: Expression): SrpCode = copy(child = c)
   }
 
   def srp_code(c: Column, bits: Int): Column =
     GraftBridge.column(SrpCode(GraftBridge.expression(c), bits))
+
+  def srp_code_offset(c: Column, bits: Int, rowOffset: Int): Column =
+    GraftBridge.column(SrpCode(GraftBridge.expression(c), bits, rowOffset))
 
   /** Exact range search (oracle-friendly: no rank column, threshold on
     * rounded score): all (query, neighbor) with cosine ≥ threshold. */

@@ -127,4 +127,16 @@ object PagesGen {
   /** Ground-truth entity id for a page url (test oracle). */
   def entityOf(url: String): Long =
     url.stripPrefix("https://host").takeWhile(_ != '-').toLong
+
+  /** Deterministic "base universe" name list — the analog of the
+    * reference's stocknames.csv (README.md:19-26): one canonical name
+    * per entity, formal legal form. Ids are the small entity indices,
+    * disjoint from the xxhash64 mention-id space the two-sided matcher
+    * joins against. */
+  def baseUniverse(spark: SparkSession, nEntities: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, nEntities, 1, 8)
+      .map(e => (e, entityBaseName(e) + " Inc."))
+      .toDF("id", "name")
+  }
 }

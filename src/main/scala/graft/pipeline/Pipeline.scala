@@ -38,9 +38,13 @@ object Pipeline {
       // logging; recall is carried by the finer keys (minhash bands,
       // token-sort, phonetic of rarer tokens).
       maxBlockSize: Int = 200,
-      ccMaxIter: Int = 30) {
-    def hash: String = Lineage.sha("v1", cutoff.toString, removePeople.toString,
-      maxBlockSize.toString, ccMaxIter.toString)
+      ccMaxIter: Int = 30,
+      // postproc-ppl.py:15-24 — drop person-looking rows from the
+      // FINAL output (in addition to normalize's person veto, which
+      // uses a different dictionary and fires earlier).
+      postFilterPeople: Boolean = true) {
+    def hash: String = Lineage.sha("v2", cutoff.toString, removePeople.toString,
+      maxBlockSize.toString, ccMaxIter.toString, postFilterPeople.toString)
   }
 
   /** pages → (mention_id, url, name). */
@@ -50,14 +54,17 @@ object Pipeline {
     * Input: (id, name); output adds pre_proc, nosuffix; rows whose
     * normalization fails (person veto / empty) are dropped, mirroring
     * the reference's dropna (matcher.py:440-445). */
-  def normalize(names: DataFrame, cfg: Config = Config()): DataFrame = {
-    val distinctNorm = names.select(col("name")).distinct()
+  def normalize(names: DataFrame, cfg: Config = Config()): DataFrame =
+    names.join(normalizeMemo(names, cfg), Seq("name"))
+
+  /** The distinct-name normalization memo (name, pre_proc, nosuffix) —
+    * exposed so Verify can commit it as an oracle input table. */
+  def normalizeMemo(names: DataFrame, cfg: Config = Config()): DataFrame =
+    names.select(col("name")).distinct()
       .withColumn("pre_proc", gf.normalize_name(col("name"), cfg.removePeople))
       .na.drop(Seq("pre_proc"))
       .where(col("pre_proc") =!= "")
       .withColumn("nosuffix", gf.remove_suffix(col("pre_proc")))
-    names.join(distinctNorm, Seq("name"))
-  }
 
   /** Explode blocking keys; id column must be named `id`. */
   def withBlockingKeys(norm: DataFrame): DataFrame =
@@ -68,19 +75,28 @@ object Pipeline {
     keyed.groupBy("key").agg(count(lit(1)).as("block_size"))
 
   /** Self-join candidate pairs over blocking keys with the oversize
-    * cap. Returns (id_a, id_b, pre_a, pre_b, nos_a, nos_b). */
+    * cap. Returns (id_a, id_b, pre_a, pre_b, nos_a, nos_b).
+    *
+    * Everything here is IN-PLAN — no driver-side count()/collect()
+    * during query construction (a plan-time action would run the whole
+    * upstream extract→normalize job once per build, a cost class that
+    * grows with input). The hot-key cap is a left-anti join against
+    * the in-plan census; dropped-row counts surface through the
+    * `graft_keyed_rows` / `graft_capped_rows` observations after the
+    * real action runs (their difference = rows in dropped blocks).
+    *
+    * `norm` is persisted here because the plan consumes it four times
+    * (census, both join sides via `capped`, and the two attachNames
+    * probes) — without the persist the normalize subtree re-executes
+    * per consumer. */
   def candidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame = {
+    norm.persist()
     val keyed = withBlockingKeys(norm)
+      .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
     val sizes = blockSizes(keyed)
     val dropped = sizes.where(col("block_size") > cfg.maxBlockSize)
-    val nDropped = dropped.count()
-    if (nDropped > 0) {
-      val log = org.apache.log4j.Logger.getLogger(getClass)
-      log.warn(s"candidatesSelf: capping $nDropped oversized blocks " +
-        s"(> ${cfg.maxBlockSize} rows); top: " +
-        dropped.orderBy(desc("block_size")).limit(5).collect().mkString(", "))
-    }
     val capped = keyed.join(broadcast(dropped.select("key")), Seq("key"), "left_anti")
+      .observe("graft_capped_rows", count(lit(1)).as("rows_kept"))
     // SHUFFLE_HASH: the designed bucketed hash join on blocking keys.
     // A broadcast join here would inherit the (possibly AQE-coalesced,
     // single-partition) left side's parallelism and serialize
@@ -112,6 +128,7 @@ object Pipeline {
     * if needed). */
   def candidatesTwoSided(main: DataFrame, base: DataFrame,
       cfg: Config = Config()): DataFrame = {
+    main.persist(); base.persist() // each side: key explode + attachNames probe
     val keyedM = withBlockingKeys(main).select(col("key"), col("id").as("id_a"))
     val keyedB = withBlockingKeys(base).select(col("key"), col("id").as("id_b"))
     val sizes = keyedB.groupBy("key").agg(count(lit(1)).as("block_size"))
@@ -178,7 +195,13 @@ object Pipeline {
     val cand = candidatesSelf(norm, cfg)
     val edges = scoreCandidates(cand, cfg).persist()
     val clusters = cluster(edges, norm.select("id"), cfg)
-    val out = mentions.join(clusters, mentions("mention_id") === clusters("id"))
+    val joined = mentions.join(clusters, mentions("mention_id") === clusters("id"))
+    // the reference's post-processing round trip (postproc-ppl.py:15-24)
+    // as a final in-plan filter — no file round trip needed
+    val filtered =
+      if (cfg.postFilterPeople) joined.where(!gf.is_person(col("name")))
+      else joined
+    val out = filtered
       .select(col("mention_id"), col("url"), col("name"), col("component"))
       .localCheckpoint()
     norm.unpersist()

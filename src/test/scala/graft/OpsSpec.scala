@@ -32,6 +32,24 @@ class OpsSpec extends SparkSuite {
     assert(cross.toDouble / withUrls.length < 0.05, s"$cross/${withUrls.length} cross-entity")
   }
 
+  test("simhash banding guarantee: pairs ≡ brute-force hamming ≤ 6 join") {
+    // 8 bands of 8 bits ⇒ any pair at hamming ≤ 7 shares a band, so the
+    // banded join must return EXACTLY the brute-force hamming ≤ 6 set
+    // (the round-1 4-band scheme silently lost hamming 4-6 pairs).
+    val m = Pipeline.extractMentions(PagesGen.generate(spark, 200, 4))
+      .select(col("mention_id").as("id"), col("name").as("text"))
+    val got = DedupOps.simhashPairs(m, "id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = m.as[(Long, String)].collect()
+      .map { case (id, t) => id -> TextOps.simHash64(t) }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size} " +
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
   test("simhash hamming ≤3 within bands is found; identical text → hamming 0") {
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("id", "text")
