@@ -13,11 +13,21 @@ import org.apache.spark.sql.functions._
   * one shuffle-hash join + one partial-aggregated groupBy per round.
   * Rounds needed = eccentricity of the component minimum, which for
   * entity-resolution graphs (dense near-cliques produced by blocking)
-  * is small; maxIter bounds pathological chains. Each round
-  * localCheckpoints to truncate lineage so plan size and recovery cost
-  * stay O(1) in the iteration count — mandatory at 10^12-edge scale.
-  * Convergence is detected by the monotone label-sum invariant
-  * (labels only decrease), a cheap aggregate instead of a join.
+  * is small; maxIter bounds pathological chains (document or upgrade
+  * to small-star/large-star for chain-heavy graphs).
+  *
+  * Per-round cost hygiene:
+  *  - `sym` is hash-partitioned on the join key ONCE and checkpointed,
+  *    so each round shuffles only the (small) label table, never the
+  *    edge list again;
+  *  - each round is ONE action: the eager localCheckpoint that
+  *    truncates lineage also materializes an `observe` carrying the
+  *    monotone label-sum, so convergence detection costs no extra job
+  *    (labels only decrease — equal sums ⇒ fixpoint);
+  *  - localCheckpoint is executor-memory-resident: O(1) plan size and
+  *    recovery cost per round locally; on a fault-tolerant cluster
+  *    deployment use reliable checkpoint() to HDFS/object storage
+  *    instead (same call shape).
   */
 object ConnectedComponents {
 
@@ -32,25 +42,33 @@ object ConnectedComponents {
     val e = edges0.toDF("src", "dst").where($"src" =!= $"dst")
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
+      .repartition($"src") // fixed partitioning reused by every round's join
       .localCheckpoint(true)
 
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
       .localCheckpoint(true)
 
-    var prevSum = labels.agg(sum($"component".cast("decimal(38,0)")).cast("string")).as[String].head()
+    def sumOf(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum($"component".cast("decimal(38,0)")).as("s"))
+      .as[java.math.BigDecimal].head()
+
+    var prevSum = sumOf(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      val obsName = s"graft_cc_$iter"
       val msgs = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select($"dst".as("id"), $"component")
-      val next = labels.union(msgs)
+      val observed = labels.union(msgs)
         .groupBy($"id")
         .agg(min($"component").as("component"))
-        .localCheckpoint(true)
-      val s = next.agg(sum($"component".cast("decimal(38,0)")).cast("string")).as[String].head()
-      converged = s == prevSum
+        .observe(obsName, sum($"component".cast("decimal(38,0)")).as("s"))
+      val next = observed.localCheckpoint(true) // the round's single action
+      val s = observed.queryExecution.observedMetrics.get(obsName)
+        .map(_.getDecimal(0)).getOrElse(sumOf(next))
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next

@@ -32,6 +32,30 @@ case class NormalizeName(child: Expression, removePeople: Boolean = true)
   override protected def withNewChildInternal(c: Expression): NormalizeName = copy(child = c)
 }
 
+/** Optimizer barrier: identity passthrough REPORTED as nondeterministic
+  * so Catalyst neither collapses the wrapped projection into consumers
+  * nor substitutes it into pushed-down filters, nor infers it across
+  * join constraints. Used around expensive once-per-distinct-row
+  * expressions (the normalize cascade): without it, filter pushdown +
+  * constraint inference re-evaluate the cascade once per FILTER
+  * predicate per JOIN SIDE on the pre-distinct rows — ~5× the work,
+  * growing with input (observed 3× slowdown of the blocking stage at
+  * sf0.1). Evaluation is in fact pure, so caching/resume determinism
+  * is unaffected. */
+case class StableBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override def prettyName: String = "opt_barrier"
+  override protected def withNewChildInternal(c: Expression): StableBarrier = copy(child = c)
+}
+
 /** remove_suffix(col) (matcher.py:59-63). */
 case class RemoveSuffix(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -180,6 +204,7 @@ object functions {
   def normalize_name(c: Column): Column = col(NormalizeName(ex(c)))
   def normalize_name(c: Column, removePeople: Boolean): Column =
     col(NormalizeName(ex(c), removePeople))
+  def opt_barrier(c: Column): Column = col(StableBarrier(ex(c)))
   def remove_suffix(c: Column): Column = col(RemoveSuffix(ex(c)))
   def token_set_ratio(a: Column, b: Column): Column = col(TokenSetRatio(ex(a), ex(b)))
   def prefilter_pass(a: Column, b: Column, cutoff: Double): Column =

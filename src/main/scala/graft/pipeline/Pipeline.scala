@@ -61,7 +61,15 @@ object Pipeline {
     * exposed so Verify can commit it as an oracle input table. */
   def normalizeMemo(names: DataFrame, cfg: Config = Config()): DataFrame =
     names.select(col("name")).distinct()
-      .withColumn("pre_proc", gf.normalize_name(col("name"), cfg.removePeople))
+      // explicit fan-out: distinct's output is byte-tiny, so AQE
+      // coalesces it to ~1 partition — which would serialize the
+      // cascade below; a user repartition is exempt from coalescing
+      .repartition(names.sparkSession.sparkContext.defaultParallelism)
+      // opt_barrier: without it Catalyst substitutes the cascade into
+      // the two pushed-down filters AND infers them onto both join
+      // sides of the memo join-back — ~5 cascade runs per raw row
+      // instead of 1 per distinct name (see StableBarrier scaladoc)
+      .withColumn("pre_proc", gf.opt_barrier(gf.normalize_name(col("name"), cfg.removePeople)))
       .na.drop(Seq("pre_proc"))
       .where(col("pre_proc") =!= "")
       .withColumn("nosuffix", gf.remove_suffix(col("pre_proc")))
@@ -113,13 +121,33 @@ object Pipeline {
   }
 
   /** Join the normalized-name columns back onto an (id_a, id_b) pair
-    * table (the relational face of match_pair.py's memo dict). */
-  def attachNames(pairs: DataFrame, norm: DataFrame): DataFrame = {
-    val n1 = norm.select(col("id").as("id_a"),
+    * table (the relational face of match_pair.py's memo dict).
+    *
+    * Shuffle hygiene, load-bearing at 100 TB:
+    *  1. the EXPLICIT repartition spreads the id pairs over
+    *     cores × 2 partitions while they are still 16-byte rows —
+    *     a user repartition is exempt from AQE byte-size coalescing,
+    *     which would otherwise pack the CPU-heavy cascade stage onto
+    *     a handful of cores (candidate rows are tiny but each costs a
+    *     230-rule scoring pass);
+    *  2. the name columns are attached AFTER that shuffle via
+    *     BROADCAST joins (distinct names ≪ pairs), which preserve the
+    *     pair partitioning — the wide string payload never enters an
+    *     exchange. (On a cluster where the name memo outgrows
+    *     broadcast, this becomes a SHUFFLE_HASH join keyed on id and
+    *     the repartition moves to the join output.) */
+  def attachNames(pairs: DataFrame, norm: DataFrame): DataFrame =
+    attachNames2(pairs, norm, norm)
+
+  /** Two-table variant (main × base) of [[attachNames]]. */
+  def attachNames2(pairs: DataFrame, normA: DataFrame, normB: DataFrame): DataFrame = {
+    val n1 = normA.select(col("id").as("id_a"),
       col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
-    val n2 = norm.select(col("id").as("id_b"),
+    val n2 = normB.select(col("id").as("id_b"),
       col("pre_proc").as("pre_b"), col("nosuffix").as("nos_b"))
-    pairs.join(n1, Seq("id_a")).join(n2, Seq("id_b"))
+    pairs
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism * 2)
+      .join(broadcast(n1), Seq("id_a")).join(broadcast(n2), Seq("id_b"))
       .select("id_a", "id_b", "pre_a", "pre_b", "nos_a", "nos_b")
   }
 
@@ -138,12 +166,7 @@ object Pipeline {
         Seq("key"))
       .select("id_a", "id_b")
       .distinct()
-    val n1 = main.select(col("id").as("id_a"),
-      col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
-    val n2 = base.select(col("id").as("id_b"),
-      col("pre_proc").as("pre_b"), col("nosuffix").as("nos_b"))
-    pairs.join(n1, Seq("id_a")).join(n2, Seq("id_b"))
-      .select("id_a", "id_b", "pre_a", "pre_b", "nos_a", "nos_b")
+    attachNames2(pairs, main, base)
   }
 
   /** Execution barrier: a projection containing a nondeterministic
@@ -164,13 +187,13 @@ object Pipeline {
     *  1. pairs are already DISTINCT (dedup before scoring — each of
     *     the ~16 blocking keys a pair can share must not re-run the
     *     230-rule cascade);
-    *  2. explicit round-robin repartition: AQE coalesces partitions by
-    *     BYTE size and candidate rows are tiny strings with heavy
-    *     per-row compute — without this the cascade collapses onto a
-    *     few cores;
-    *  3. the barrier keeps 1-2 from being optimized away. */
+    *  2. input partitioning comes from [[attachNames2]]'s id-pair
+    *     repartition (cores × 2, AQE-exempt) — the string payload is
+    *     never re-shuffled here;
+    *  3. the barrier pins the cascade ABOVE those exchanges so the
+    *     optimizer can't float it down into the candidate join. */
   def scoreCandidates(cand: DataFrame, cfg: Config = Config()): DataFrame =
-    barrier(cand.repartition(cand.sparkSession.sparkContext.defaultParallelism * 2))
+    barrier(cand)
       .observe("graft_candidates", count(lit(1)).as("pairs_in"))
       .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
       .withColumn("code", gf.match_score(col("pre_a"), col("pre_b")))
