@@ -218,6 +218,17 @@ object SparkEntry {
     }),
 
     // ---- legacy-matcher operators (coname.py re-expressed) ----
+    "er_permutation" -> ((s, dir) => {
+      // coname.py:120-144 permutation matching as a scoring path:
+      // pre-blocked pairs scored through the (full, first2-merged,
+      // first3-merged) variant combinations
+      val n = mentionsNorm(s, dir)
+      Pipeline.attachNames(modPairs(n), n)
+        .withColumn("pcode",
+          graft.text.LegacyVariants.permutation_score(col("pre_a"), col("pre_b")))
+        .where(col("pcode") > 0)
+        .select("id_a", "id_b", "pcode")
+    }),
     "q21_name_variants" -> ((s, dir) =>
       mentionsNorm(s, dir)
         .select(col("id"), col("pre_proc"),

@@ -52,10 +52,12 @@ object MediaOps {
 
   /** Batched per-partition feature extraction (the mapPartitions shape
     * a real codec needs: one codec instance per partition, streamed
-    * batches, no per-row setup). */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val out = media.select("media_id", "payload", "format", "byte_len").rdd
+    * batches, no per-row setup). Stays a Dataset transform — a
+    * MapPartitions node inside the plan, not an RDD round trip — so
+    * upstream pushdown/pruning and downstream AQE still apply around
+    * the opaque decode. */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select("media_id", "payload", "format", "byte_len")
       .mapPartitions { it =>
         // per-partition "codec" init happens here in a real decoder
         it.map { r =>
@@ -64,7 +66,5 @@ object MediaOps {
           val (w, h, feat) = decodeStub(payload)
           Row(id, r.getInt(3), r.getString(2), w, h, feat.toSeq)
         }
-      }
-    spark.createDataFrame(out, featureSchema)
-  }
+      }(org.apache.spark.sql.Encoders.row(featureSchema))
 }

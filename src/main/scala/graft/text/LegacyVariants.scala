@@ -66,6 +66,75 @@ object LegacyVariants {
   def first_three_merged(c: Column): Column =
     GraftBridge.column(FirstThreeMerged(GraftBridge.expression(c)))
 
+  /** coname.py:120-144's `permutation()` matching re-expressed over
+    * the MODERN cascade (SURVEY.md §2.2 P8): try the (full,
+    * first2-merged, first3-merged) variants of each side through
+    * `MatchCascade.score`; accept at the first variant combination
+    * with code > 0.
+    *
+    * Preserved reference semantics:
+    *  - the crude prefilters run first: char-overlap < 4 rejects when
+    *    both names are > 7 chars (coname.py:123-125), token_set_ratio
+    *    < 55 rejects (:126-127) — both → sentinel −100;
+    *  - variant order: (x,y), (two_x,y), (three_x,y) — the three_x
+    *    attempt gated on two_x existing — then (x,two_y), (x,three_y);
+    *  - the reference BUG at coname.py:139-141 (`if three_x:` guarding
+    *    the three_Y attempt) is reproduced: the y-side three-merge is
+    *    only tried when the X side has a three-merge;
+    *  - fuzzywuzzy numerics are NOT reproduced (SURVEY §3.3): scores
+    *    use this engine's rapidfuzz-parity kernels.
+    *
+    * Returns the first accepting code (> 0), else the full-form
+    * cascade code (≤ 0), else −100 on prefilter reject. */
+  def permutationScore(a: String, b: String): Int = {
+    if (a.length > 7 && b.length > 7 && (a.toSet & b.toSet).size < 4) return -100
+    if (Fuzz.tokenSetRatio(a, b) < 55) return -100
+    val full = graft.score.MatchCascade.score(a, b)
+    if (full > 0) return full
+    val twoA = firstTwoMerged(a)
+    if (twoA != null) {
+      val c = graft.score.MatchCascade.score(twoA, b)
+      if (c > 0) return c
+      val threeA = firstThreeMerged(a)
+      if (threeA != null) {
+        val c3 = graft.score.MatchCascade.score(threeA, b)
+        if (c3 > 0) return c3
+      }
+    }
+    val twoB = firstTwoMerged(b)
+    if (twoB != null) {
+      val c = graft.score.MatchCascade.score(a, twoB)
+      if (c > 0) return c
+      if (firstThreeMerged(a) != null) { // reference bug: gates on X's three-merge
+        val threeB = firstThreeMerged(b)
+        if (threeB != null) {
+          val c3 = graft.score.MatchCascade.score(a, threeB)
+          if (c3 > 0) return c3
+        }
+      }
+    }
+    full
+  }
+
+  case class PermutationScore(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      permutationScore(a.toString, b.toString)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.text.LegacyVariants.permutationScore($a.toString(), $b.toString())")
+    override def prettyName: String = "permutation_score"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PermutationScore =
+      copy(left = l, right = r)
+  }
+
+  def permutation_score(a: Column, b: Column): Column =
+    GraftBridge.column(PermutationScore(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Tokens with corpus document frequency ≤ maxDf (unique_word,
     * coname.py:242-244). Input: (id, name) with space-joined tokens. */
   def rareTokens(names: DataFrame, nameCol: String, maxDf: Int = 2): DataFrame =
