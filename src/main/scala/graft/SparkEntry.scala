@@ -109,6 +109,27 @@ object SparkEntry {
           col("score").as("token_sort_ratio"))
     }),
 
+    "er_stream_counts" -> ((s, dir) => {
+      // Structured-Streaming face (§2.9): the deterministic pages
+      // corpus replayed as a stream (Trigger.AvailableNow), watermarked
+      // 1-hour event-time windows of normalized-mention counts. The
+      // result is deterministic, so it gets a full DuckDB oracle.
+      import org.apache.spark.sql.streaming.Trigger
+      val pagesDir = s"/tmp/graft_stream_pages_${entityCountFor(dir)}"
+      pagesFor(s, dir).write.mode("overwrite").parquet(pagesDir)
+      val mentions = graft.streaming.StreamingPipeline.streamingMentions(s, pagesDir)
+        .where(col("pre_proc") =!= "") // mirror the memo's empty-drop
+      val counts = graft.streaming.StreamingPipeline.windowedMentionCounts(mentions)
+      val sink = s"er_stream_counts_${System.nanoTime()}"
+      val q = counts
+        .select(col("window.start").as("win_start"), col("pre_proc"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
     // ---- relational skeleton over driver tables (oracled) ----
     "q1_pricing" -> ((s, dir) =>
       s.read.parquet(t(dir, "lineitem"))
@@ -205,6 +226,11 @@ object SparkEntry {
       AnnOps.lshKnn(s.read.parquet(t(dir, "embeddings")),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 8)
         .withColumn("rank", col("rank").cast("long"))),
+    "q24_ann_ivf" -> ((s, dir) =>
+      AnnOps.ivfKnn(s.read.parquet(t(dir, "embeddings")),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        centroidIds = (100L until 116L).toSeq, k = 10, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))),
 
     // ---- clustering (oracled via recursive CTE) ----
     "q18_cc_copurchase" -> ((s, dir) => {
@@ -292,6 +318,15 @@ object SparkEntry {
          |FROM $M m JOIN $MEMO d USING (name)""".stripMargin,
     "er_blocking" ->
       s"SELECT key, COUNT(*) AS block_size FROM $KEYED GROUP BY key",
+    "er_stream_counts" ->
+      s"""SELECT date_trunc('hour', warc_ts) AS win_start, d.pre_proc,
+         |COUNT(*) AS n
+         |FROM (SELECT warc_ts, substring(line, 10) AS name
+         |      FROM (SELECT warc_ts, url,
+         |            unnest(string_split(text, chr(10))) AS line FROM $P)
+         |      WHERE line LIKE 'Company: %') m
+         |JOIN $MEMO d USING (name)
+         |GROUP BY 1, 2""".stripMargin,
     "er_candidates" ->
       s"""WITH keyed AS (SELECT * FROM $KEYED),
          |hot AS (SELECT key FROM keyed GROUP BY key HAVING COUNT(*) > 200),
@@ -447,6 +482,29 @@ object SparkEntry {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
          |WHERE rn <= 10""".stripMargin,
+    "q24_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 100 AND 115),
+        |assign AS (SELECT vec_id AS id, cid FROM (
+        |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT query_id, cid FROM (
+        |  SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rn
+        |  FROM e q CROSS JOIN cent c WHERE q.vec_id IN (0,1,2,3,4)) WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT p.query_id, a.id AS neighbor_id
+        |  FROM probes p JOIN assign a USING (cid) WHERE a.id <> p.query_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(eq.v, en.v) AS cos
+        |  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+        |  JOIN e en ON cand.neighbor_id = en.vec_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id,
+        |ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
     "q18_cc_copurchase" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b

@@ -47,7 +47,7 @@ object Verify {
     val memo = Pipeline.normalizeMemo(mentionIds).persist()
     val norm = mentionIds.join(memo, Seq("name")).persist()
 
-    dump("_input_pages")(pages.select("url", "text"))
+    dump("_input_pages")(pages.select("url", "warc_ts", "text"))
     dump("_input_mentions")(mentions)
     dump("_input_norm_memo")(memo)
     dump("_input_keyed")(Pipeline.withBlockingKeys(norm).select("id", "key"))

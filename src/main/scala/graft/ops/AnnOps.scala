@@ -120,6 +120,59 @@ object AnnOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cosine"))
   }
 
+  /** IVF-flat coarse-quantizer assignment: every vector → its nearest
+    * centroid (max cosine, ties → smaller centroid id). Centroids are
+    * a deterministic sample of corpus vectors (standard IVF sampled
+    * init; k-means rounds would only rebalance the lists — same query
+    * path). Returns (id, cid). Scale shape: centroids broadcast, one
+    * scan of the corpus, per-id top-1 via a k-bounded aggregate — no
+    * all-pairs, no per-query work. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long]): DataFrame = {
+    val cent = emb.where(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("vec"), col("cvec")))
+      // max cosine, ties to the SMALLER cid: max of (cos, -cid) struct
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("id"), (-col("best.ncid")).as("cid"))
+  }
+
+  /** IVF-flat top-k: probe the `nprobe` centroids nearest each query,
+    * scan only their inverted lists, exact cosine top-k. Same output
+    * contract as bruteKnn. */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], centroidIds: Seq[Long], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val assign = ivfAssign(emb, idCol, vecCol, centroidIds)
+    val cent = emb.where(col(idCol).isInCollection(centroidIds))
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val probes = {
+      val q = emb.where(col(idCol).isInCollection(queryIds))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine(col("qvec"), col("cvec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      q.withColumn("prn", row_number().over(w)).where(col("prn") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    }
+    val lists = assign
+      .join(emb.select(col(idCol).as("id"), col(vecCol).as("nvec")), Seq("id"))
+      .select(col("cid"), col("id").as("neighbor_id"), col("nvec"))
+    val cand = probes.join(lists, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qvec", "neighbor_id", "nvec").distinct()
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cosine"))
+  }
+
   /** LSH-bucketed top-k: same contract as bruteKnn but candidates are
     * restricted to SRP buckets within hamming ≤ 2 of the query code
     * (multi-probe by code expansion). Scale path: the corpus is

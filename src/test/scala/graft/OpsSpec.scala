@@ -73,6 +73,36 @@ class OpsSpec extends SparkSuite {
     assert(lsh.forall { case (q, n) => qs.contains(q) && all.contains(n) && q != n })
   }
 
+  test("ANN: IVF assignment is the exact argmax centroid; knn hits are genuine") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = (100L until 116L).toSeq
+    val assign = AnnOps.ivfAssign(emb, "vec_id", "embedding", cents)
+      .as[(Long, Long)].collect().toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(assign.size == vecs.size) // every vector gets exactly one list
+    // spot-check 50 ids: assigned centroid = argmax cosine, ties → min cid
+    vecs.keys.toSeq.sorted.take(50).foreach { id =>
+      val best = cents.map(c => (cos(vecs(id), vecs(c)), c))
+        .maxBy { case (s, c) => (s, -c) }._2
+      assert(assign(id) == best, s"id $id: got ${assign(id)} want $best")
+    }
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val ivf = AnnOps.ivfKnn(emb, "vec_id", "embedding", qs, cents, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, n) => qs.contains(q) && vecs.contains(n) && q != n })
+    val brute = AnnOps.bruteKnn(emb, "vec_id", "embedding", qs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    info(f"ivf recall@10 = ${(brute & ivf.toSet).size.toDouble / brute.size}%.2f " +
+      "(random embeddings: coarse lists are weakly informative by construction)")
+  }
+
   test("lang_id separates the generator's language mix") {
     val pages = PagesGen.generate(spark, 100, 4)
     val pred = pages.select(col("lang"), TextOps.lang_id(col("text")).as("pred"))
