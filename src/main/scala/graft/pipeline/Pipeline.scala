@@ -169,16 +169,6 @@ object Pipeline {
     attachNames2(pairs, main, base)
   }
 
-  /** Execution barrier: a projection containing a nondeterministic
-    * column. Catalyst will not push deterministic filters through it,
-    * which pins the expensive scoring ABOVE the preceding
-    * dedup/repartition exchanges (otherwise the optimizer floats the
-    * cascade down into the candidate join — running it once per
-    * duplicate key-collision and at the join's, possibly coalesced,
-    * parallelism). */
-  private def barrier(df: DataFrame): DataFrame =
-    df.withColumn("__barrier", rand(7)).drop("__barrier")
-
   /** Prefilter + cascade over candidate pairs → accepted edges with
     * the reference's output score (token_sort_ratio of nosuffix,
     * matcher.py:393).
@@ -186,17 +176,22 @@ object Pipeline {
     * Order is load-bearing at scale:
     *  1. pairs are already DISTINCT (dedup before scoring — each of
     *     the ~16 blocking keys a pair can share must not re-run the
-    *     230-rule cascade);
-    *  2. input partitioning comes from [[attachNames2]]'s id-pair
-    *     repartition (cores × 2, AQE-exempt) — the string payload is
-    *     never re-shuffled here;
-    *  3. the barrier pins the cascade ABOVE those exchanges so the
-    *     optimizer can't float it down into the candidate join. */
+    *     230-rule cascade) and the cascade can only run where the
+    *     hydrated name columns exist, i.e. above [[attachNames2]]'s
+    *     post-dedup repartition — placement is structural, no barrier
+    *     hacks needed;
+    *  2. the opt_barrier around match_score makes the `code > 0`
+    *     filter reference the materialized column instead of
+    *     substituting the expression — the cascade runs ONCE per pair,
+    *     not once in the filter plus once in the projection
+    *     (PlanSpec asserts a single cascade site);
+    *  3. the observe probes are the per-partition counter metrics of
+    *     the lineage story (pairs in / accepted out). */
   def scoreCandidates(cand: DataFrame, cfg: Config = Config()): DataFrame =
-    barrier(cand)
+    cand
       .observe("graft_candidates", count(lit(1)).as("pairs_in"))
       .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
-      .withColumn("code", gf.match_score(col("pre_a"), col("pre_b")))
+      .withColumn("code", gf.opt_barrier(gf.match_score(col("pre_a"), col("pre_b"))))
       .where(col("code") > 0)
       .observe("graft_edges", count(lit(1)).as("pairs_accepted"))
       .withColumn("score", gf.token_sort_ratio(col("nos_a"), col("nos_b")))
