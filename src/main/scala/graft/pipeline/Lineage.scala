@@ -50,7 +50,19 @@ object Lineage {
       return spark.read.parquet(dir)
     }
     val t0 = System.nanoTime()
-    build.write.mode("overwrite").parquet(dir)
+    val built = build
+    built.write.mode("overwrite").parquet(dir)
+    // observe() probes planted by the stages (pairs in/accepted,
+    // keyed/capped row counts) materialize with the write action;
+    // commit them into the sidecar so cap/skew decisions are
+    // observable per stage without extra jobs
+    val observed = built.queryExecution.observedMetrics.toSeq.sortBy(_._1)
+      .map { case (n, row) =>
+        val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+          s""""${esc(f)}":${row.get(i)}"""
+        }.mkString(",")
+        s""""${esc(n)}":{$fields}"""
+      }.mkString("{", ",", "}")
     val committed = spark.read.parquet(dir)
     val perFile = committed.groupBy(input_file_name().as("file")).count()
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -62,6 +74,7 @@ object Lineage {
     val json =
       s"""{"stage":"${esc(name)}",$expected,"rows":$rows,"wall_ms":$wallMs,
          |"committed_at":"${java.time.Instant.now()}","partitions":${perFile.length},
+         |"observed":$observed,
          |"partition_counters":$filesJson}""".stripMargin.replace("\n", "")
     Files.write(metaPath, json.getBytes(StandardCharsets.UTF_8))
     committed
