@@ -77,6 +77,17 @@ object ConnectedComponents {
     labels
   }
 
+  /** Component-size distribution: (size, n_components). Production ER
+    * monitors this — a fat tail means transitive closure is chaining
+    * hub names (the classic ER over-merge hazard); mitigations are
+    * hub-degree pruning or per-component size caps upstream. */
+  def componentStats(labels: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    labels.groupBy($"component").agg(count(lit(1)).as("size"))
+      .groupBy($"size").agg(count(lit(1)).as("n_components"))
+      .orderBy($"size".desc)
+  }
+
   /** Cluster ids for every vertex in `vertices` (single id column);
     * vertices absent from the edge list map to themselves. */
   def assignAll(edges: DataFrame, vertices: DataFrame): DataFrame = {

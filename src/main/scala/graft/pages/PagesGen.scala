@@ -63,13 +63,41 @@ object PagesGen {
     sb.toString
   }
 
+  private val syllables = Array("ba", "cor", "dan", "fel", "gor", "hul",
+    "jin", "kel", "lor", "mar", "nex", "pol", "quor", "rin", "sol",
+    "tarn", "ul", "vex", "wor", "zan")
+
+  /** Coined (injective, pronounceable) base name: the entity id in
+    * base-20 syllables + a sector noun. Mirrors real company-name
+    * statistics better than the small-vocabulary combos of
+    * [[entityBaseName]]: FIRST tokens are globally distinctive, which
+    * is the reference matcher's core assumption (rule +10,
+    * matcher.py:273-275, accepts on first-token identity when the
+    * token is not an English word — sound for CRSP-like data, and
+    * catastrophic under a generator that reuses 36 adjectives across
+    * 30k entities). Used by scale stress tests. */
+  def coinedBaseName(e: Long): String = {
+    // ≥4 base-20 digits, zero ("ba") padded; the syllable set has 20
+    // distinct first letters ⇒ prefix-free ⇒ uniquely decodable ⇒
+    // the coined token is injective in e for ALL e
+    val sb = new StringBuilder
+    var x = e
+    var i = 0
+    while (x > 0 || i < 4) {
+      sb ++= syllables((x % syllables.length).toInt)
+      x /= syllables.length
+      i += 1
+    }
+    s"${sb.toString.capitalize} ${nouns((e % nouns.length).toInt).capitalize}"
+  }
+
   private def swapChars(s: String, i: Int): String =
     if (i + 1 >= s.length) s
     else s.substring(0, i) + s.charAt(i + 1) + s.charAt(i) + s.substring(i + 2)
 
   /** Variant v of entity e's name — typo/suffix/permutation noise. */
-  def mentionName(e: Long, v: Int): String = {
-    val base = entityBaseName(e)
+  def mentionName(e: Long, v: Int, coined: Boolean = false): String = {
+    val base = if (coined) coinedBaseName(e) else entityBaseName(e)
     val r = new scala.util.Random(0x5eed0002L * (e + 1) + v)
     val form = legalForms(r.nextInt(legalForms.length))
     v % 6 match {
@@ -93,8 +121,8 @@ object PagesGen {
   private val paraDe = "Unternehmensprofil und Geschäftsbericht für "
   private val paraJa = "会社概要および事業報告: "
 
-  def htmlFor(e: Long, v: Int, lang: String): String = {
-    val name = mentionName(e, v)
+  def htmlFor(e: Long, v: Int, lang: String, coined: Boolean = false): String = {
+    val name = mentionName(e, v, coined)
     val para = lang match {
       case "de" => paraDe + name
       case "ja" => paraJa + name
@@ -109,14 +137,15 @@ object PagesGen {
 
   /** Deterministic pages DataFrame: nEntities × mentionsPerEntity rows. */
   def generate(spark: SparkSession, nEntities: Long, mentionsPerEntity: Int,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32, coined: Boolean = false): DataFrame = {
     import spark.implicits._
     val mpe = mentionsPerEntity
+    val useCoined = coined
     spark.range(0, nEntities * mpe, 1, partitions).map { i =>
       val e = i / mpe
       val v = (i % mpe).toInt
       val lang = langs(((e * 31 + v) % langs.length).toInt)
-      val html = htmlFor(e, v, lang)
+      val html = htmlFor(e, v, lang, useCoined)
       val bytes = html.getBytes(StandardCharsets.UTF_8)
       val text = Extract.extractText(bytes)
       val ts = new Timestamp(1609459200000L + i * 1000L) // 2021-01-01 + i sec

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pages.PagesGen
+import graft.pipeline.Pipeline
+
+/** Dev scale probe: the full pages → clusters dataflow at N× the bench
+  * scale, reporting stage timings, candidate/edge volumes, and
+  * ground-truth pairwise precision/recall (mention urls encode the
+  * entity id). Usage: runMain graft.tools.StressProbe <nEntities> */
+object StressProbe {
+  def main(args: Array[String]): Unit = {
+    val nEnt = args.headOption.map(_.toLong).getOrElse(80000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    def mark(label: String): Unit =
+      println(f"STRESS $label ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+    val pages = PagesGen.generate(spark, nEnt, 4, partitions = 64, coined = true)
+    val mentions = Pipeline.extractMentions(pages).persist()
+    println(s"STRESS mentions ${mentions.count()}")
+    mark("extract")
+    val norm = Pipeline.normalize(
+      mentions.select(col("mention_id").as("id"), col("name"))).persist()
+    println(s"STRESS norm ${norm.count()}")
+    mark("normalize")
+    val cand = Pipeline.candidatesSelf(norm)
+    val edges = Pipeline.scoreCandidates(cand).persist()
+    println(s"STRESS edges ${edges.count()}")
+    mark("score")
+    val clusters = Pipeline.cluster(edges, norm.select("id"))
+    println(s"STRESS clustered ${clusters.count()}")
+    mark("cluster")
+    graft.cluster.ConnectedComponents.componentStats(clusters)
+      .limit(8).collect()
+      .foreach(r => println(s"STRESS compsize ${r.get(0)} x${r.get(1)}"))
+
+    // ground-truth pairwise P/R within predicted clusters
+    val truth = mentions.select(col("mention_id").as("id"), col("url"))
+      .as[(Long, String)].collect().map { case (id, u) => id -> PagesGen.entityOf(u) }.toMap
+    val assign = clusters.as[(Long, Long)].collect()
+    val byComp = assign.groupBy(_._2).values.filter(_.length > 1)
+    var tp = 0L; var fp = 0L
+    byComp.foreach { members =>
+      val ids = members.map(_._1)
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        if (truth(ids(i)) == truth(ids(j))) tp += 1 else fp += 1
+      }
+    }
+    val truePairs = truth.values.groupBy(identity).values
+      .map { g => g.size.toLong * (g.size - 1) / 2 }.sum
+    val prec = tp.toDouble / math.max(1, tp + fp)
+    val rec = tp.toDouble / math.max(1, truePairs)
+    println(f"STRESS pairwise P=$prec%.4f R=$rec%.4f (tp=$tp fp=$fp truePairs=$truePairs)")
+    mark("total")
+    spark.stop()
+  }
+}
