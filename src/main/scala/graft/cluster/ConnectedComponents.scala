@@ -77,6 +77,25 @@ object ConnectedComponents {
     labels
   }
 
+  /** Hub-degree pruning — the standard mitigation for transitive
+    * over-merge: drop every edge incident to a vertex whose degree
+    * exceeds `maxDegree` (such "hub" names connect to implausibly many
+    * distinct mentions and chain unrelated entities through
+    * transitivity; they fall out as singletons for human review).
+    * Degree census is one agg; hub set is small by construction →
+    * broadcast anti-joins, no extra shuffle of the edge list. */
+  def pruneHubs(edges: DataFrame, maxDegree: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.toDF("src", "dst")
+    val hubs = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+      .where($"deg" > maxDegree)
+      .select($"id")
+    e.join(broadcast(hubs.select($"id".as("src"))), Seq("src"), "left_anti")
+      .join(broadcast(hubs.select($"id".as("dst"))), Seq("dst"), "left_anti")
+      .select($"src", $"dst")
+  }
+
   /** Component-size distribution: (size, n_components). Production ER
     * monitors this — a fat tail means transitive closure is chaining
     * hub names (the classic ER over-merge hazard); mitigations are

@@ -50,20 +50,27 @@ object StressProbe {
     // ground-truth pairwise P/R within predicted clusters
     val truth = mentions.select(col("mention_id").as("id"), col("url"))
       .as[(Long, String)].collect().map { case (id, u) => id -> PagesGen.entityOf(u) }.toMap
-    val assign = clusters.as[(Long, Long)].collect()
-    val byComp = assign.groupBy(_._2).values.filter(_.length > 1)
-    var tp = 0L; var fp = 0L
-    byComp.foreach { members =>
-      val ids = members.map(_._1)
-      for (i <- ids.indices; j <- (i + 1) until ids.length) {
-        if (truth(ids(i)) == truth(ids(j))) tp += 1 else fp += 1
-      }
-    }
     val truePairs = truth.values.groupBy(identity).values
       .map { g => g.size.toLong * (g.size - 1) / 2 }.sum
-    val prec = tp.toDouble / math.max(1, tp + fp)
-    val rec = tp.toDouble / math.max(1, truePairs)
-    println(f"STRESS pairwise P=$prec%.4f R=$rec%.4f (tp=$tp fp=$fp truePairs=$truePairs)")
+    def pr(label: String, cl: org.apache.spark.sql.DataFrame): Unit = {
+      val assign = cl.as[(Long, Long)].collect()
+      var tp = 0L; var fp = 0L
+      assign.groupBy(_._2).values.filter(_.length > 1).foreach { members =>
+        val ids = members.map(_._1)
+        for (i <- ids.indices; j <- (i + 1) until ids.length) {
+          if (truth(ids(i)) == truth(ids(j))) tp += 1 else fp += 1
+        }
+      }
+      val prec = tp.toDouble / math.max(1, tp + fp)
+      val rec = tp.toDouble / math.max(1, truePairs)
+      println(f"STRESS $label P=$prec%.4f R=$rec%.4f (tp=$tp fp=$fp truePairs=$truePairs)")
+    }
+    pr("pairwise", clusters)
+    // hub-pruned variant: the production over-merge mitigation
+    val pruned = graft.cluster.ConnectedComponents.pruneHubs(
+      edges.select(col("id_a"), col("id_b")), maxDegree = 20)
+    val clusters2 = Pipeline.cluster(pruned.toDF("id_a", "id_b"), norm.select("id"))
+    pr("pairwise-hubpruned(20)", clusters2)
     mark("total")
     spark.stop()
   }
