@@ -109,6 +109,16 @@ object SparkEntry {
           col("score").as("token_sort_ratio"))
     }),
 
+    "er_match_cand" -> ((s, dir) => {
+      // the two-sided blocking join skeleton (matcher.py's main × base
+      // candidate generation), oracled against the committed keyed
+      // tables of both sides
+      val mentions = Pipeline.extractMentions(pagesFor(s, dir))
+      val main = Pipeline.normalize(
+        mentions.select(col("mention_id").as("id"), col("name")))
+      val base = Pipeline.normalize(PagesGen.baseUniverse(s, entityCountFor(dir)))
+      Pipeline.candidatesTwoSided(main, base).select("id_a", "id_b")
+    }),
     "er_stream_counts" -> ((s, dir) => {
       // Structured-Streaming face (§2.9): the deterministic pages
       // corpus replayed as a stream (Trigger.AvailableNow), watermarked
@@ -294,6 +304,8 @@ object SparkEntry {
   private val MHB = "read_parquet('__OUTDIR__/_input_mh_bands/*.parquet')"
   private val SIMH = "read_parquet('__OUTDIR__/_input_simhash/*.parquet')"
   private val SRP = "read_parquet('__OUTDIR__/_input_srp/*.parquet')"
+  private val KEYM = "read_parquet('__OUTDIR__/_input_keyed_main/*.parquet')"
+  private val KEYB = "read_parquet('__OUTDIR__/_input_keyed_base/*.parquet')"
 
   /** Person-detector CTE body (postproc-ppl.py:4-24): `First M. Last`
     * regex on the raw name, or every word token in the first∪sur set.
@@ -318,6 +330,12 @@ object SparkEntry {
          |FROM $M m JOIN $MEMO d USING (name)""".stripMargin,
     "er_blocking" ->
       s"SELECT key, COUNT(*) AS block_size FROM $KEYED GROUP BY key",
+    "er_match_cand" ->
+      s"""WITH km AS (SELECT * FROM $KEYM), kb AS (SELECT * FROM $KEYB),
+         |hot AS (SELECT key FROM kb GROUP BY key HAVING COUNT(*) > 200),
+         |ok AS (SELECT * FROM kb WHERE key NOT IN (SELECT key FROM hot))
+         |SELECT DISTINCT km.id AS id_a, ok.id AS id_b
+         |FROM km JOIN ok ON km.key = ok.key""".stripMargin,
     "er_stream_counts" ->
       s"""SELECT date_trunc('hour', warc_ts) AS win_start, d.pre_proc,
          |COUNT(*) AS n

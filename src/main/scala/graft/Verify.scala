@@ -51,6 +51,10 @@ object Verify {
     dump("_input_mentions")(mentions)
     dump("_input_norm_memo")(memo)
     dump("_input_keyed")(Pipeline.withBlockingKeys(norm).select("id", "key"))
+    dump("_input_keyed_main")(Pipeline.withBlockingKeys(norm).select("id", "key"))
+    dump("_input_keyed_base")(Pipeline.withBlockingKeys(
+      Pipeline.normalize(graft.pages.PagesGen.baseUniverse(
+        spark, SparkEntry.entityCountFor(sfDir)))).select("id", "key"))
     dump("_input_edges")(
       Pipeline.scoreCandidates(Pipeline.candidatesSelf(norm)).select("id_a", "id_b"))
     dump("_input_persondict") {
