@@ -40,8 +40,10 @@ object ConnectedComponents {
     import spark.implicits._
 
     val e = edges0.toDF("src", "dst").where($"src" =!= $"dst")
+    // no distinct: duplicate edges cannot exist when the upstream pair
+    // table is id-ordered + deduped, and min-label propagation absorbs
+    // them anyway — the dedup exchange would cost more than it saves
     val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .distinct()
       .repartition($"src") // fixed partitioning reused by every round's join
       .localCheckpoint(true)
 
@@ -61,6 +63,10 @@ object ConnectedComponents {
       val msgs = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select($"dst".as("id"), $"component")
+      // (pointer jumping / path shortcutting was measured here and
+      // REMOVED: ER merge-components are dense blobs with small
+      // diameter, so the extra label-label join per round cost more
+      // than the rounds it saved — at both 32k and 320k mentions)
       val observed = labels.union(msgs)
         .groupBy($"id")
         .agg(min($"component").as("component"))
