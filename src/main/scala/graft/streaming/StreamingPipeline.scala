@@ -52,6 +52,45 @@ object StreamingPipeline {
       .groupBy(window(col("warc_ts"), windowLen), col("pre_proc"))
       .agg(count(lit(1)).as("n"))
 
+  /** Incremental ER over a crawl stream (the production "new WARC
+    * batch arrives" path): each micro-batch of pages is extracted,
+    * normalized, and scored two-sided against a FIXED base universe;
+    * accepted edges append to `edgesDir`. With a `checkpointLocation`
+    * the query resumes from the last committed batch after a restart —
+    * the streaming face of the Lineage resume story. Returns the
+    * started query (caller awaits / stops).
+    *
+    * matchBatch is exposed separately so tests can assert the per-batch
+    * semantics ≡ the batch pipeline on the same input. */
+  def matchBatch(batch: DataFrame, baseNorm: DataFrame): DataFrame = {
+    val mentions = batch
+      .select(col("url"), explode(split(Extract.extract_text(col("html")), "\n")).as("line"))
+      .where(col("line").startsWith("Company: "))
+      .select(xxhash64(col("url"), col("line")).as("id"),
+        expr("substring(line, 10)").as("name"))
+    val main = graft.pipeline.Pipeline.normalize(mentions)
+    graft.pipeline.Pipeline.scoreCandidates(
+        graft.pipeline.Pipeline.candidatesTwoSided(main, baseNorm))
+      .select("id_a", "id_b", "code", "score")
+  }
+
+  def incrementalEdges(spark: SparkSession, pagesDir: String,
+      baseNorm: DataFrame, edgesDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    baseNorm.persist()
+    spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        matchBatch(batch, baseNorm)
+          .write.mode("append").parquet(edgesDir)
+      }
+      .start()
+  }
+
   /** Stateful first-occurrence dedup by normalized name. */
   def dedupedMentions(spark: SparkSession, mentions: DataFrame,
       stateTimeoutMs: Long = 3600000L): DataFrame = {

@@ -29,6 +29,34 @@ class StreamingSpec extends SparkSuite {
     assert(total == 200) // 50 entities × 4 mentions
   }
 
+  test("incremental ER: foreachBatch edges ≡ batch two-sided match; restart resumes") {
+    import graft.pipeline.Pipeline
+    val pagesDir = Files.createTempDirectory("graft_inc_pages").toString
+    val edgesDir = Files.createTempDirectory("graft_inc_edges").toString + "/e"
+    val ckptDir = Files.createTempDirectory("graft_inc_ckpt").toString
+    val nEnt = 40L
+    PagesGen.generate(spark, nEnt, 4).write.mode("overwrite").parquet(pagesDir)
+    val base = Pipeline.normalize(PagesGen.baseUniverse(spark, nEnt))
+
+    val q = StreamingPipeline.incrementalEdges(spark, pagesDir, base, edgesDir, ckptDir)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(edgesDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // batch equivalent over the same pages
+    val mentions = Pipeline.extractMentions(spark.read.parquet(pagesDir))
+    val main = Pipeline.normalize(mentions.select($"mention_id".as("id"), $"name"))
+    val batch = Pipeline.scoreCandidates(Pipeline.candidatesTwoSided(main, base))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+
+    // restart with the same checkpoint: no new input → no duplicate edges
+    val q2 = StreamingPipeline.incrementalEdges(spark, pagesDir, base, edgesDir, ckptDir)
+    q2.awaitTermination(120000)
+    val after = spark.read.parquet(edgesDir).count()
+    assert(after == streamed.size, "restart must not reprocess committed batches")
+  }
+
   test("stateful dedup emits one first_url per distinct normalized name") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     PagesGen.generate(spark, 30, 4).write.mode("overwrite").parquet(dir)
