@@ -290,7 +290,12 @@ object SparkEntry {
       MediaOps.extractFeatures(
         MediaOps.mediaTable(s.read.parquet(t(dir, "documents")), "doc_id", "text"))
         .select(col("media_id"), col("byte_len"), col("format"),
-          col("width"), col("height")))
+          col("width"), col("height"))),
+    "q25_media_frames" -> ((s, dir) =>
+      MediaOps.sampleFrames(
+        MediaOps.mediaTable(s.read.parquet(t(dir, "documents")), "doc_id", "text"),
+        n = 5)
+        .select("media_id", "frame_idx", "frame_off"))
   )
 
   // Shorthands for the committed oracle-input tables (written by
@@ -544,6 +549,13 @@ object SparkEntry {
         |ELSE 'wav' END AS format,
         |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
         |FROM documents""".stripMargin,
+    "q25_media_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CAST(r.range AS INTEGER) AS frame_idx,
+        |CAST(CASE WHEN octet_length(encode(text)) <= 256 THEN 0
+        |     ELSE (CAST(octet_length(encode(text)) - 256 AS BIGINT) * r.range) // 4
+        |     END AS INTEGER) AS frame_off
+        |FROM documents CROSS JOIN range(0, 5) r""".stripMargin,
     "q22_rare_tokens" ->
       s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
          |n AS (SELECT m.id, d.pre_proc FROM m JOIN $MEMO d USING (name)),

@@ -50,6 +50,56 @@ object MediaOps {
         (col(idCol) % 3 + 1).cast(IntegerType)).as("format"))
       .withColumn("byte_len", length(col("payload")).cast(IntegerType))
 
+  /** FAKE resize (deterministic): a real implementation scales the
+    * decoded raster; here the "pixels" are a hash fold of the payload
+    * re-sampled to the target dims, so schema/plumbing/determinism are
+    * real and the codec call is one function swap. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(1, (w * h) / 64)) // thumbnail-ish
+    var acc = 1469598103934665603L
+    var i = 0
+    while (i < out.length) {
+      acc = (acc ^ payload(i % math.max(1, payload.length))) * 1099511628211L
+      out(i) = (TextOps.mix64(acc + w * 31 + h) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_off", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling for time-media payloads: `n` evenly spaced fixed
+    * size byte windows per payload (a real decoder seeks keyframes; the
+    * PLUMBING — one row per (media, frame), bounded frame size, order
+    * stability — is what the pipeline needs). One input row → n output
+    * rows via flatMap inside the partition iterator. */
+  def sampleFrames(media: DataFrame, n: Int, frameBytes: Int = 256): DataFrame =
+    media.select("media_id", "payload")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          (0 until n).iterator.map { k =>
+            val off = if (payload.length <= frameBytes) 0
+              else (payload.length - frameBytes).toLong * k / math.max(1, n - 1)
+            val end = math.min(payload.length, off.toInt + frameBytes)
+            Row(id, k, off.toInt, java.util.Arrays.copyOfRange(payload, off.toInt, end))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(frameSchema))
+
+  /** Resize stage over the media table: adds (width, height, thumb). */
+  def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val resize = org.apache.spark.sql.functions.udf(
+      (p: Array[Byte]) => resizeStub(p, w, h))
+    media.withColumn("thumb", resize(col("payload")))
+      .withColumn("thumb_len", length(col("thumb")).cast(IntegerType))
+  }
+
   /** Batched per-partition feature extraction (the mapPartitions shape
     * a real codec needs: one codec instance per partition, streamed
     * batches, no per-row setup). Stays a Dataset transform — a

@@ -103,6 +103,25 @@ class OpsSpec extends SparkSuite {
       "(random embeddings: coarse lists are weakly informative by construction)")
   }
 
+  test("media frame sampling: n rows per payload, stable offsets, bounded frames") {
+    val docs = Seq((1L, "x" * 1000), (2L, "short")).toDF("doc_id", "text")
+    val frames = MediaOps.sampleFrames(MediaOps.mediaTable(docs, "doc_id", "text"), n = 5)
+      .select(col("media_id"), col("frame_idx"), col("frame_off"), length(col("frame")).as("len"))
+      .as[(Long, Int, Int, Int)].collect()
+    assert(frames.length == 10) // 2 payloads × 5 frames
+    val big = frames.filter(_._1 == 1L).sortBy(_._2)
+    assert(big.map(_._3).toSeq == Seq(0, 186, 372, 558, 744)) // (1000-256)*k/4
+    assert(big.forall(_._4 == 256))
+    val small = frames.filter(_._1 == 2L)
+    assert(small.forall(f => f._3 == 0 && f._4 == 5)) // whole payload per frame
+    // resize: deterministic, dimension-sensitive
+    val t1 = MediaOps.resizeStub("abc".getBytes, 64, 64)
+    assert(java.util.Arrays.equals(t1, MediaOps.resizeStub("abc".getBytes, 64, 64)))
+    assert(!java.util.Arrays.equals(t1, MediaOps.resizeStub("abc".getBytes, 128, 64)))
+    assert(MediaOps.resizeAll(MediaOps.mediaTable(docs, "doc_id", "text"), 64, 64)
+      .select("thumb_len").as[Int].collect().forall(_ == 64))
+  }
+
   test("lang_id separates the generator's language mix") {
     val pages = PagesGen.generate(spark, 100, 4)
     val pred = pages.select(col("lang"), TextOps.lang_id(col("text")).as("pred"))
