@@ -53,6 +53,15 @@ object SparkEntry {
     Pipeline.normalize(m.select(col("mention_id").as("id"), col("name")))
   }
 
+  /** Persisted normalize subtree for builders that consume it more
+    * than once (pair generators, tf-idf term/norm/join-backs) — the
+    * 229-regex cascade must run once per distinct name, not once per
+    * plan consumer. The plan is identical on every call, so the
+    * shared CacheManager holds a single entry for it (re-persisting
+    * an already-cached plan is a no-op). */
+  private def mentionsNormCached(s: SparkSession, dir: String): DataFrame =
+    mentionsNorm(s, dir).persist()
+
   /** Pre-blocked pair table over the mention ids (match_pair.py's
     * input contract): deterministic mod-bucket pairs. */
   private def modPairs(n: DataFrame): DataFrame =
@@ -85,7 +94,7 @@ object SparkEntry {
         .select("mention_id", "name")),
     "er_pair_mode" -> ((s, dir) => {
       // match_pair.py contract: pre-blocked (a,b) pairs → accepted edges
-      val n = mentionsNorm(s, dir)
+      val n = mentionsNormCached(s, dir)
       Pipeline.scoreCandidates(Pipeline.attachNames(modPairs(n), n))
         .select("id_a", "id_b")
     }),
@@ -258,7 +267,7 @@ object SparkEntry {
       // coname.py:120-144 permutation matching as a scoring path:
       // pre-blocked pairs scored through the (full, first2-merged,
       // first3-merged) variant combinations
-      val n = mentionsNorm(s, dir)
+      val n = mentionsNormCached(s, dir)
       Pipeline.attachNames(modPairs(n), n)
         .withColumn("pcode",
           graft.text.LegacyVariants.permutation_score(col("pre_a"), col("pre_b")))
@@ -271,14 +280,14 @@ object SparkEntry {
           graft.text.LegacyVariants.first_two_merged(col("pre_proc")).as("merged2"),
           graft.text.LegacyVariants.first_three_merged(col("pre_proc")).as("merged3"))),
     "q22_rare_tokens" -> ((s, dir) => {
-      val n = mentionsNorm(s, dir)
+      val n = mentionsNormCached(s, dir)
       graft.text.LegacyVariants.rareTokens(n, "pre_proc")
         .select(col("word").as("token"), col("df"))
         .union(graft.text.LegacyVariants.rareAdjacentPairs(n, "pre_proc")
           .select(col("pair").as("token"), col("df")))
     }),
     "q23_tfidf_cosine" -> ((s, dir) => {
-      val n = mentionsNorm(s, dir)
+      val n = mentionsNormCached(s, dir)
       TfIdf.pairCosine(modPairs(n), n, "id", "pre_proc")
     }),
 
@@ -587,10 +596,10 @@ object SparkEntry {
          |  JOIN w wb ON p.id_b = wb.id AND wa.word = wb.word
          |  GROUP BY p.id_a, p.id_b)
          |SELECT p.id_a, p.id_b,
-         |ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0
+         |ROUND(CASE WHEN COALESCE(na.nrm, 0) * COALESCE(nb.nrm, 0) = 0 THEN 0
          |      ELSE COALESCE(d.dot, 0) / (na.nrm * nb.nrm) END, 6) AS tfidf_cosine
          |FROM pairs p
          |LEFT JOIN dots d ON p.id_a = d.id_a AND p.id_b = d.id_b
-         |JOIN nrm na ON p.id_a = na.id JOIN nrm nb ON p.id_b = nb.id""".stripMargin
+         |LEFT JOIN nrm na ON p.id_a = na.id LEFT JOIN nrm nb ON p.id_b = nb.id""".stripMargin
   )
 }

@@ -56,10 +56,19 @@ object Lineage {
     // keyed/capped row counts) materialize with the write action;
     // commit them into the sidecar so cap/skew decisions are
     // observable per stage without extra jobs
+    // non-numeric metric values (strings, timestamps, nulls) are
+    // JSON-quoted/escaped — a raw interpolation would corrupt the
+    // sidecar and break resume's sidecar matching
+    def jsonVal(v: Any): String = v match {
+      case null => "null"
+      case n: Number => n.toString
+      case b: Boolean => b.toString
+      case other => s""""${esc(other.toString)}""""
+    }
     val observed = built.queryExecution.observedMetrics.toSeq.sortBy(_._1)
       .map { case (n, row) =>
         val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-          s""""${esc(f)}":${row.get(i)}"""
+          s""""${esc(f)}":${jsonVal(row.get(i))}"""
         }.mkString(",")
         s""""${esc(n)}":{$fields}"""
       }.mkString("{", ",", "}")

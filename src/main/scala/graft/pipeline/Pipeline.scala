@@ -153,10 +153,15 @@ object Pipeline {
 
   /** Two-sided candidate generation (main × base, matcher.py flow).
     * The two inputs must not share id values (caller offsets one side
-    * if needed). */
+    * if needed).
+    *
+    * `cacheInputs = false` hands cache lifecycle to the caller — a
+    * repeated caller (e.g. foreachBatch scoring every micro-batch)
+    * must persist/unpersist per invocation itself, or the shared
+    * CacheManager accumulates one never-released entry per call. */
   def candidatesTwoSided(main: DataFrame, base: DataFrame,
-      cfg: Config = Config()): DataFrame = {
-    main.persist(); base.persist() // each side: key explode + attachNames probe
+      cfg: Config = Config(), cacheInputs: Boolean = true): DataFrame = {
+    if (cacheInputs) { main.persist(); base.persist() } // each side: key explode + attachNames probe
     val keyedM = withBlockingKeys(main).select(col("key"), col("id").as("id_a"))
     val keyedB = withBlockingKeys(base).select(col("key"), col("id").as("id_b"))
     val sizes = keyedB.groupBy("key").agg(count(lit(1)).as("block_size"))

@@ -40,7 +40,10 @@ object TfIdf {
 
   /** TF-IDF cosine for each (id_a, id_b) pair over the token vectors
     * of `docs(idCol, textCol)`. Pairs with no shared token score 0;
-    * zero-norm vectors (every token idf 0) score 0. Output:
+    * zero-norm vectors score 0 — including pairs referencing a doc
+    * with no tokens at all (or an id absent from `docs`), which the
+    * LEFT norm joins keep in the output with nrm 0 instead of
+    * silently dropping. Output:
     * (id_a, id_b, tfidf_cosine ∈ [0,1] rounded to 6). */
   def pairCosine(pairs: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
@@ -55,10 +58,10 @@ object TfIdf {
       .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("dot"))
     pairs
       .join(dots, Seq("id_a", "id_b"), "left")
-      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
-      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), Seq("id_a"), "left")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"),
-        round(when(col("na") * col("nb") === 0.0, 0.0)
+        round(when(coalesce(col("na"), lit(0.0)) * coalesce(col("nb"), lit(0.0)) === 0.0, 0.0)
           .otherwise(coalesce(col("dot"), lit(0.0)) / (col("na") * col("nb"))), 6)
           .as("tfidf_cosine"))
   }

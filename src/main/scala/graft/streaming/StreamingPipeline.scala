@@ -55,28 +55,42 @@ object StreamingPipeline {
   /** Incremental ER over a crawl stream (the production "new WARC
     * batch arrives" path): each micro-batch of pages is extracted,
     * normalized, and scored two-sided against a FIXED base universe;
-    * accepted edges append to `edgesDir`. With a `checkpointLocation`
-    * the query resumes from the last committed batch after a restart —
-    * the streaming face of the Lineage resume story. Returns the
+    * accepted edges land in `edgesDir/batch=<id>`. With a
+    * `checkpointLocation` the query resumes from the last committed
+    * batch after a restart — the streaming face of the Lineage resume
+    * story. Sink semantics are IDEMPOTENT under replay: each batch
+    * overwrites its own batchId-named directory, so a crash between
+    * the write and the checkpoint commit re-runs the batch into the
+    * same directory instead of duplicating edges (plain parquet
+    * append would be at-least-once). Readers see one hive-style
+    * `batch` partition column on top of the edge schema. Returns the
     * started query (caller awaits / stops).
     *
     * matchBatch is exposed separately so tests can assert the per-batch
     * semantics ≡ the batch pipeline on the same input. */
-  def matchBatch(batch: DataFrame, baseNorm: DataFrame): DataFrame = {
-    val mentions = batch
+  def matchBatch(batch: DataFrame, baseNorm: DataFrame): DataFrame =
+    matchNormalized(graft.pipeline.Pipeline.normalize(batchMentions(batch)), baseNorm)
+
+  /** batch pages → (id, name) mention rows (id = stable hash of the
+    * url + extracted line, deterministic under batch replay). */
+  private def batchMentions(batch: DataFrame): DataFrame =
+    batch
       .select(col("url"), explode(split(Extract.extract_text(col("html")), "\n")).as("line"))
       .where(col("line").startsWith("Company: "))
       .select(xxhash64(col("url"), col("line")).as("id"),
         expr("substring(line, 10)").as("name"))
-    val main = graft.pipeline.Pipeline.normalize(mentions)
+
+  private def matchNormalized(main: DataFrame, baseNorm: DataFrame): DataFrame =
     graft.pipeline.Pipeline.scoreCandidates(
-        graft.pipeline.Pipeline.candidatesTwoSided(main, baseNorm))
+        graft.pipeline.Pipeline.candidatesTwoSided(main, baseNorm, cacheInputs = false))
       .select("id_a", "id_b", "code", "score")
-  }
 
   def incrementalEdges(spark: SparkSession, pagesDir: String,
       baseNorm: DataFrame, edgesDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one long-lived cache entry for the fixed universe, owned by this
+    // query's lifetime — NOT per-batch (a per-batch persist with no
+    // unpersist would grow the shared CacheManager unboundedly)
     baseNorm.persist()
     spark.readStream
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
@@ -84,9 +98,16 @@ object StreamingPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        matchBatch(batch, baseNorm)
-          .write.mode("append").parquet(edgesDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the per-batch main side is consumed twice inside the
+        // two-sided join (key explode + name hydration probe): persist
+        // for the batch, release in finally — the cache must not
+        // accumulate an entry per micro-batch
+        val main = graft.pipeline.Pipeline.normalize(batchMentions(batch)).persist()
+        try matchNormalized(main, baseNorm)
+          .write.mode("overwrite").parquet(s"$edgesDir/batch=$batchId")
+        finally main.unpersist()
+        ()
       }
       .start()
   }
