@@ -63,8 +63,10 @@ object SparkEntry {
     mentionsNorm(s, dir).persist()
 
   /** Pre-blocked pair table over the mention ids (match_pair.py's
-    * input contract): deterministic mod-bucket pairs. */
-  private def modPairs(n: DataFrame): DataFrame =
+    * input contract): deterministic mod-bucket pairs. private[graft]
+    * so Verify can commit the scored-code tables over the same pair
+    * set the queries use. */
+  private[graft] def modPairs(n: DataFrame): DataFrame =
     n.select(col("id").as("id_a")).join(n.select(col("id").as("id_b")),
         col("id_a") % 97 === col("id_b") % 97 && col("id_a") < col("id_b"))
 
@@ -313,7 +315,11 @@ object SparkEntry {
   private val M = "read_parquet('__OUTDIR__/_input_mentions/*.parquet')"
   private val MEMO = "read_parquet('__OUTDIR__/_input_norm_memo/*.parquet')"
   private val KEYED = "read_parquet('__OUTDIR__/_input_keyed/*.parquet')"
-  private val EDGES = "read_parquet('__OUTDIR__/_input_edges/*.parquet')"
+  private val CODES = "read_parquet('__OUTDIR__/_input_cand_codes/*.parquet')"
+  private val PCODES = "read_parquet('__OUTDIR__/_input_pair_codes/*.parquet')"
+  private val MCODES = "read_parquet('__OUTDIR__/_input_match_codes/*.parquet')"
+  private val PERM = "read_parquet('__OUTDIR__/_input_perm_codes/*.parquet')"
+  private val BASE = "read_parquet('__OUTDIR__/_input_base/*.parquet')"
   private val PDICT = "read_parquet('__OUTDIR__/_input_persondict/*.parquet')"
   private val MHB = "read_parquet('__OUTDIR__/_input_mh_bands/*.parquet')"
   private val SIMH = "read_parquet('__OUTDIR__/_input_simhash/*.parquet')"
@@ -370,10 +376,34 @@ object SparkEntry {
          |$personsCte
          |SELECT mention_id, name FROM m
          |WHERE mention_id NOT IN (SELECT mention_id FROM persons)""".stripMargin,
+    "er_edges" ->
+      s"SELECT id_a, id_b, code, score FROM $CODES WHERE code > 0",
+    "er_pair_mode" ->
+      s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
+         |n AS (SELECT m.id FROM m JOIN $MEMO d USING (name)),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM n a JOIN n b
+         |          ON a.id % 97 = b.id % 97 AND a.id < b.id)
+         |SELECT c.id_a, c.id_b FROM $PCODES c JOIN pairs USING (id_a, id_b)
+         |WHERE c.code > 0""".stripMargin,
+    "er_match" ->
+      s"""SELECT c.id_a AS main_idx, m.name AS main_name,
+         |c.id_b AS base_idx, b.name AS base_name,
+         |c.score AS token_sort_ratio
+         |FROM $MCODES c
+         |JOIN $M m ON c.id_a = m.mention_id
+         |JOIN $BASE b ON c.id_b = b.id
+         |WHERE c.code > 0""".stripMargin,
+    "er_permutation" ->
+      s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
+         |n AS (SELECT m.id FROM m JOIN $MEMO d USING (name)),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM n a JOIN n b
+         |          ON a.id % 97 = b.id % 97 AND a.id < b.id)
+         |SELECT c.id_a, c.id_b, c.pcode FROM $PERM c JOIN pairs USING (id_a, id_b)
+         |WHERE c.pcode > 0""".stripMargin,
     "er_clusters" ->
       s"""WITH RECURSIVE m AS (SELECT * FROM $M),
          |verts AS (SELECT m.mention_id AS id FROM m JOIN $MEMO d USING (name)),
-         |e AS (SELECT id_a AS a, id_b AS b FROM $EDGES),
+         |e AS (SELECT id_a AS a, id_b AS b FROM $CODES WHERE code > 0),
          |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
          |reach AS (
          |  SELECT a AS id, b AS r FROM sym

@@ -52,11 +52,27 @@ object Verify {
     dump("_input_norm_memo")(memo)
     dump("_input_keyed")(Pipeline.withBlockingKeys(norm).select("id", "key"))
     dump("_input_keyed_main")(Pipeline.withBlockingKeys(norm).select("id", "key"))
-    dump("_input_keyed_base")(Pipeline.withBlockingKeys(
-      Pipeline.normalize(graft.pages.PagesGen.baseUniverse(
-        spark, SparkEntry.entityCountFor(sfDir)))).select("id", "key"))
-    dump("_input_edges")(
-      Pipeline.scoreCandidates(Pipeline.candidatesSelf(norm)).select("id_a", "id_b"))
+    val baseRaw = graft.pages.PagesGen.baseUniverse(
+      spark, SparkEntry.entityCountFor(sfDir))
+    val baseNorm = Pipeline.normalize(baseRaw).persist()
+    dump("_input_base")(baseRaw)
+    dump("_input_keyed_base")(
+      Pipeline.withBlockingKeys(baseNorm).select("id", "key"))
+    // scored-code tables: cascade output per candidate pair, NO accept
+    // filter — DuckDB verifies the code>0 filter + downstream joins of
+    // er_edges / er_clusters / er_pair_mode / er_match / er_permutation
+    // as relational skeletons over these
+    dump("_input_cand_codes")(
+      Pipeline.scoredCodes(Pipeline.candidatesSelf(norm)))
+    dump("_input_pair_codes")(
+      Pipeline.scoredCodes(Pipeline.attachNames(SparkEntry.modPairs(norm), norm)))
+    dump("_input_match_codes")(
+      Pipeline.scoredCodes(Pipeline.candidatesTwoSided(norm, baseNorm)))
+    dump("_input_perm_codes")(
+      Pipeline.attachNames(SparkEntry.modPairs(norm), norm)
+        .withColumn("pcode",
+          graft.text.LegacyVariants.permutation_score(col("pre_a"), col("pre_b")))
+        .select("id_a", "id_b", "pcode"))
     dump("_input_persondict") {
       import spark.implicits._
       (graft.text.Dictionaries.firstNames ++ graft.text.Dictionaries.surNames)

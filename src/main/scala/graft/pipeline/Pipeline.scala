@@ -201,6 +201,22 @@ object Pipeline {
       .observe("graft_edges", count(lit(1)).as("pairs_accepted"))
       .withColumn("score", gf.token_sort_ratio(col("nos_a"), col("nos_b")))
 
+  /** Cascade code + output score for EVERY prefilter-passing candidate
+    * (no accept filter) — the committed oracle-input face of
+    * [[scoreCandidates]]: Verify dumps this table so DuckDB can verify
+    * the `code > 0` accept filter and every downstream join-back as a
+    * relational skeleton over it (the same method `_input_edges`
+    * used for the clusters oracle, now anchoring er_edges /
+    * er_pair_mode / er_match too). Values are identical to
+    * [[scoreCandidates]] by construction (same expressions, same
+    * deterministic cascade). */
+  def scoredCodes(cand: DataFrame, cfg: Config = Config()): DataFrame =
+    cand
+      .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+      .withColumn("code", gf.opt_barrier(gf.match_score(col("pre_a"), col("pre_b"))))
+      .withColumn("score", gf.token_sort_ratio(col("nos_a"), col("nos_b")))
+      .select("id_a", "id_b", "code", "score")
+
   /** Edges → (id, component). */
   def cluster(edges: DataFrame, vertices: DataFrame, cfg: Config = Config()): DataFrame =
     ConnectedComponents.assignAll(
