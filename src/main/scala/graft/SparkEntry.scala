@@ -351,8 +351,10 @@ object SparkEntry {
     "er_blocking" ->
       s"SELECT key, COUNT(*) AS block_size FROM $KEYED GROUP BY key",
     "er_match_cand" ->
+      // salted hot keys still produce every pair; only runaway blocks
+      // (census > 4000) are dropped — the oracle mirrors that semantic
       s"""WITH km AS (SELECT * FROM $KEYM), kb AS (SELECT * FROM $KEYB),
-         |hot AS (SELECT key FROM kb GROUP BY key HAVING COUNT(*) > 200),
+         |hot AS (SELECT key FROM kb GROUP BY key HAVING COUNT(*) > 4000),
          |ok AS (SELECT * FROM kb WHERE key NOT IN (SELECT key FROM hot))
          |SELECT DISTINCT km.id AS id_a, ok.id AS id_b
          |FROM km JOIN ok ON km.key = ok.key""".stripMargin,
@@ -366,8 +368,10 @@ object SparkEntry {
          |JOIN $MEMO d USING (name)
          |GROUP BY 1, 2""".stripMargin,
     "er_candidates" ->
+      // salted hot keys still produce every pair; only runaway blocks
+      // (census > 4000) are dropped — the oracle mirrors that semantic
       s"""WITH keyed AS (SELECT * FROM $KEYED),
-         |hot AS (SELECT key FROM keyed GROUP BY key HAVING COUNT(*) > 200),
+         |hot AS (SELECT key FROM keyed GROUP BY key HAVING COUNT(*) > 4000),
          |ok AS (SELECT * FROM keyed WHERE key NOT IN (SELECT key FROM hot))
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |FROM ok a JOIN ok b ON a.key = b.key AND a.id < b.id""".stripMargin,

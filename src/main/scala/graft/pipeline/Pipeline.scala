@@ -20,10 +20,12 @@ import graft.pages.Extract
   *    distinct names ≪ mentions;
   *  - candidate generation is an equi-join on exploded blocking keys,
   *    never a cross product; pair dedup keys on (idA, idB);
-  *  - oversized blocks (stop-word-like keys) are CAPPED, counted, and
-  *    logged — never silently joined (a hot metaphone key would
-  *    otherwise produce n² pairs); AQE skew-join remains on as the
-  *    second line of defense;
+  *  - oversized blocks (stop-word-like keys) are SALT-SPLIT into
+  *    bounded (key, salt) sub-blocks so every pair is still scored
+  *    (matcher.py:381-396 scores every pair) without any task
+  *    materializing a whole hot block; only runaway blocks above a
+  *    hard bound are dropped, counted, and logged — never silently;
+  *    AQE skew-join remains on as the second line of defense;
   *  - the cheap token_set_ratio prefilter (cutoff 50, matcher.py:33)
   *    runs before the cascade inside the same codegen stage, so >90%
   *    of candidates never reach the 230-rule scorer.
@@ -33,18 +35,25 @@ object Pipeline {
   final case class Config(
       cutoff: Int = 50,
       removePeople: Boolean = true,
-      // a block of n rows yields O(n²) pairs: 200 ⇒ ≤19.9k pairs/block.
-      // Hot (stop-word-like) keys above the cap are dropped WITH
-      // logging; recall is carried by the finer keys (minhash bands,
-      // token-sort, phonetic of rarer tokens).
+      // a block of n rows yields O(n²) pairs: 200 ⇒ ≤19.9k pairs per
+      // un-salted block. Blocks ABOVE this are SALT-SPLIT into
+      // ceil(n/cap) `(key, salt)` sub-blocks (every pair still
+      // generated — the reference scores every pair, matcher.py:381-396
+      // — but no single task ever materializes a whole hot block).
       maxBlockSize: Int = 200,
+      // hard runaway bound: a block above this is DROPPED with logged
+      // counts (4000 rows ⇒ ~8M pairs from ONE key — at web scale such
+      // keys are stop-word-like artifacts whose pairs are noise, and
+      // their O(n²) output would dominate the job).
+      runawayBlockSize: Int = 4000,
       ccMaxIter: Int = 30,
       // postproc-ppl.py:15-24 — drop person-looking rows from the
       // FINAL output (in addition to normalize's person veto, which
       // uses a different dictionary and fires earlier).
       postFilterPeople: Boolean = true) {
-    def hash: String = Lineage.sha("v2", cutoff.toString, removePeople.toString,
-      maxBlockSize.toString, ccMaxIter.toString, postFilterPeople.toString)
+    def hash: String = Lineage.sha("v3", cutoff.toString, removePeople.toString,
+      maxBlockSize.toString, runawayBlockSize.toString, ccMaxIter.toString,
+      postFilterPeople.toString)
   }
 
   /** pages → (mention_id, url, name). */
@@ -82,28 +91,36 @@ object Pipeline {
   def blockSizes(keyed: DataFrame): DataFrame =
     keyed.groupBy("key").agg(count(lit(1)).as("block_size"))
 
-  /** Self-join candidate pairs over blocking keys with the oversize
-    * cap. Returns (id_a, id_b, pre_a, pre_b, nos_a, nos_b).
+  /** Hot-key census with the per-key salt count: keys in
+    * (maxBlockSize, runawayBlockSize] are salted into
+    * nsalt = ceil(block_size / maxBlockSize) sub-blocks; keys above
+    * the runaway bound are dropped (logged via the observe deltas). */
+  private def saltPlan(sizes: DataFrame, cfg: Config): DataFrame =
+    sizes
+      .where(col("block_size") > cfg.maxBlockSize &&
+        col("block_size") <= cfg.runawayBlockSize)
+      .withColumn("nsalt",
+        ceil(col("block_size").cast("double") / cfg.maxBlockSize).cast("long"))
+      .select("key", "nsalt")
+
+  /** Distinct (id_a, id_b) self-pairs from a keyed table (id, key) —
+    * the in-plan blocking join, exposed for spec-level recall proofs.
     *
-    * Everything here is IN-PLAN — no driver-side count()/collect()
-    * during query construction (a plan-time action would run the whole
-    * upstream extract→normalize job once per build, a cost class that
-    * grows with input). The hot-key cap is a left-anti join against
-    * the in-plan census; dropped-row counts surface through the
-    * `graft_keyed_rows` / `graft_capped_rows` observations after the
-    * real action runs (their difference = rows in dropped blocks).
-    *
-    * `norm` is persisted here because the plan consumes it four times
-    * (census, both join sides via `capped`, and the two attachNames
-    * probes) — without the persist the normalize subtree re-executes
-    * per consumer. */
-  def candidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame = {
-    norm.persist()
-    val keyed = withBlockingKeys(norm)
-      .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
+    * Three key tiers (census is in-plan, no driver action):
+    *  - block_size ≤ maxBlockSize: plain SHUFFLE_HASH self-join on key;
+    *  - maxBlockSize < block_size ≤ runawayBlockSize: SALTED — the
+    *    left side gets salt = hash(id) mod nsalt, the right side is
+    *    replicated to every salt, and the join runs on (key, salt):
+    *    every pair of the hot block is still produced exactly once
+    *    (the reference scores every pair, matcher.py:381-396), but the
+    *    per-task work is bounded by maxBlockSize × block_size instead
+    *    of block_size² — the "top-key splitting" of the north rule;
+    *  - block_size > runawayBlockSize: dropped, counted, logged.
+    */
+  def candidatePairsSelf(keyed: DataFrame, cfg: Config = Config()): DataFrame = {
     val sizes = blockSizes(keyed)
-    val dropped = sizes.where(col("block_size") > cfg.maxBlockSize)
-    val capped = keyed.join(broadcast(dropped.select("key")), Seq("key"), "left_anti")
+    val oversize = sizes.where(col("block_size") > cfg.maxBlockSize)
+    val small = keyed.join(broadcast(oversize.select("key")), Seq("key"), "left_anti")
       .observe("graft_capped_rows", count(lit(1)).as("rows_kept"))
     // SHUFFLE_HASH: the designed bucketed hash join on blocking keys.
     // A broadcast join here would inherit the (possibly AQE-coalesced,
@@ -111,13 +128,46 @@ object Pipeline {
     // everything downstream. Pair dedup runs on the 16-byte id pair
     // BEFORE the name strings are joined back — at web scale the
     // duplicate-key traffic is the dominant shuffle.
-    val a = capped.select(col("key"), col("id").as("id_a"))
-    val b = capped.select(col("key"), col("id").as("id_b"))
-    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("key"))
+    val a = small.select(col("key"), col("id").as("id_a"))
+    val b = small.select(col("key"), col("id").as("id_b"))
+    val smallPairs = a.join(b.hint("SHUFFLE_HASH"), Seq("key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
-    attachNames(pairs, norm)
+    // salted tier: each unordered pair {x,y} of a hot block appears
+    // exactly once — x carries one salt, y is replicated to all salts,
+    // so (x,y) meets at salt(x) and the id_a < id_b filter keeps one
+    // direction
+    val hotKeyed = keyed.join(broadcast(saltPlan(sizes, cfg)), Seq("key"))
+    val hotA = hotKeyed.select(col("key"),
+      pmod(xxhash64(col("id")), col("nsalt")).as("salt"), col("id").as("id_a"))
+    val hotB = hotKeyed.select(col("key"),
+      explode(sequence(lit(0L), col("nsalt") - 1)).as("salt"), col("id").as("id_b"))
+    val hotPairs = hotA.join(hotB.hint("SHUFFLE_HASH"), Seq("key", "salt"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .observe("graft_salted_pairs", count(lit(1)).as("pairs_salted"))
+    smallPairs.unionByName(hotPairs).distinct()
+  }
+
+  /** Self-join candidate pairs over blocking keys (salted hot keys,
+    * runaway drop — see [[candidatePairsSelf]]). Returns
+    * (id_a, id_b, pre_a, pre_b, nos_a, nos_b).
+    *
+    * Everything here is IN-PLAN — no driver-side count()/collect()
+    * during query construction (a plan-time action would run the whole
+    * upstream extract→normalize job once per build, a cost class that
+    * grows with input). Dropped-row counts surface through the
+    * `graft_keyed_rows` / `graft_capped_rows` / `graft_salted_pairs`
+    * observations after the real action runs.
+    *
+    * `norm` is persisted here because the plan consumes it several
+    * times (census, join sides, the two attachNames probes) — without
+    * the persist the normalize subtree re-executes per consumer. */
+  def candidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame = {
+    norm.persist()
+    val keyed = withBlockingKeys(norm)
+      .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
+    attachNames(candidatePairsSelf(keyed, cfg), norm)
   }
 
   /** Join the normalized-name columns back onto an (id_a, id_b) pair
@@ -164,14 +214,34 @@ object Pipeline {
     if (cacheInputs) { main.persist(); base.persist() } // each side: key explode + attachNames probe
     val keyedM = withBlockingKeys(main).select(col("key"), col("id").as("id_a"))
     val keyedB = withBlockingKeys(base).select(col("key"), col("id").as("id_b"))
+    attachNames2(candidatePairsTwoSided(keyedM, keyedB, cfg), main, base)
+  }
+
+  /** Distinct (id_a, id_b) main × base pairs from two keyed tables —
+    * census on the BASE side (the universe is where stop-word-like
+    * blocks form). Hot base blocks are salted: the base row carries
+    * salt = hash(id) mod nsalt, the main row is replicated to every
+    * salt — per-task work ≤ maxBlockSize base rows × matching main
+    * rows. Runaway base blocks (> runawayBlockSize) are dropped. */
+  def candidatePairsTwoSided(keyedM: DataFrame, keyedB: DataFrame,
+      cfg: Config = Config()): DataFrame = {
     val sizes = keyedB.groupBy("key").agg(count(lit(1)).as("block_size"))
-    val hot = sizes.where(col("block_size") > cfg.maxBlockSize).select("key")
-    val pairs = keyedM
-      .join(keyedB.join(broadcast(hot), Seq("key"), "left_anti").hint("SHUFFLE_HASH"),
+    val oversize = sizes.where(col("block_size") > cfg.maxBlockSize).select("key")
+    val smallPairs = keyedM
+      .join(keyedB.join(broadcast(oversize), Seq("key"), "left_anti").hint("SHUFFLE_HASH"),
         Seq("key"))
       .select("id_a", "id_b")
-      .distinct()
-    attachNames2(pairs, main, base)
+    val salts = saltPlan(sizes, cfg)
+    val hotB = keyedB.join(broadcast(salts), Seq("key"))
+      .select(col("key"), pmod(xxhash64(col("id_b")), col("nsalt")).as("salt"),
+        col("id_b"))
+    val hotM = keyedM.join(broadcast(salts), Seq("key"))
+      .select(col("key"), explode(sequence(lit(0L), col("nsalt") - 1)).as("salt"),
+        col("id_a"))
+    val hotPairs = hotM.join(hotB.hint("SHUFFLE_HASH"), Seq("key", "salt"))
+      .select("id_a", "id_b")
+      .observe("graft_salted_pairs_2s", count(lit(1)).as("pairs_salted"))
+    smallPairs.unionByName(hotPairs).distinct()
   }
 
   /** Prefilter + cascade over candidate pairs → accepted edges with

@@ -98,6 +98,40 @@ class PipelineSpec extends SparkSuite {
     assert(rec > 0.5, s"recall $rec") // typo'd variants are intentionally hard
   }
 
+  test("hot blocking keys are salted, not dropped: every hot-block pair is found") {
+    import spark.implicits._
+    val cfg = Pipeline.Config(maxBlockSize = 10, runawayBlockSize = 50)
+    // three tiers: small (5 rows), hot (30 rows — salted into 3
+    // sub-blocks), runaway (60 rows — dropped). Ids are disjoint, so a
+    // pair is reachable ONLY via its own key.
+    val keyed = (
+      (1L to 5L).map(i => (i, "small")) ++
+      (101L to 130L).map(i => (i, "hot")) ++
+      (1001L to 1060L).map(i => (i, "runaway"))
+    ).toDF("id", "key")
+    val got = Pipeline.candidatePairsSelf(keyed, cfg)
+      .as[(Long, Long)].collect().toSet
+    def allPairs(r: Range) =
+      (for (a <- r; b <- r if a < b) yield (a.toLong, b.toLong)).toSet
+    val smallPairs = allPairs(1 to 5)
+    val hotPairs = allPairs(101 to 130)
+    assert((got & smallPairs) == smallPairs, "small-block pairs lost")
+    assert((got & hotPairs) == hotPairs,
+      s"salting lost hot-block pairs: ${(hotPairs -- got).take(5)}")
+    assert(got.forall(p => p._1 < 1000L), "runaway block must be dropped")
+    assert(got == smallPairs ++ hotPairs)
+    // two-sided: hot BASE block (30 rows > cap 10) salted against 4
+    // main rows; every main × hot-base pair must survive
+    val keyedM = (1L to 4L).map(i => (i, "hot")).toDF("id_a", "key")
+      .select($"key", $"id_a")
+    val keyedB = (101L to 130L).map(i => (i, "hot")).toDF("id_b", "key")
+      .select($"key", $"id_b")
+    val got2 = Pipeline.candidatePairsTwoSided(keyedM, keyedB, cfg)
+      .as[(Long, Long)].collect().toSet
+    val want2 = (for (a <- 1L to 4L; b <- 101L to 130L) yield (a, b)).toSet
+    assert(got2 == want2, s"two-sided salting lost ${(want2 -- got2).size} pairs")
+  }
+
   test("hub pruning drops only hub-incident edges; chains survive") {
     import spark.implicits._
     // star: hub 0 — 1..5 (degree 5); chain: 10-11-12 (degrees ≤ 2)
