@@ -24,32 +24,43 @@ import org.apache.spark.sql.functions._
   *    truncates lineage also materializes an `observe` carrying the
   *    monotone label-sum, so convergence detection costs no extra job
   *    (labels only decrease — equal sums ⇒ fixpoint);
-  *  - localCheckpoint is executor-memory-resident: O(1) plan size and
-  *    recovery cost per round locally; on a fault-tolerant cluster
-  *    deployment use reliable checkpoint() to HDFS/object storage
-  *    instead (same call shape).
+  *  - `reliable = false` (local default) uses executor-memory
+  *    localCheckpoint: O(1) plan size and recovery cost per round;
+  *    `reliable = true` (the cluster default — a lost executor must
+  *    not kill a multi-hour job) swaps in fault-tolerant
+  *    checkpoint() to the SparkContext checkpoint dir (HDFS/object
+  *    storage); Pipeline.Config.reliableCheckpointDir wires both the
+  *    dir and the flag.
   */
 object ConnectedComponents {
 
   /** @param edges0 two numeric-id columns (src, dst)
+    * @param reliable use fault-tolerant `checkpoint()` (requires
+    *        `spark.sparkContext.setCheckpointDir` — HDFS/object
+    *        storage on a cluster) instead of the executor-memory
+    *        `localCheckpoint`. localCheckpoint is faster locally but a
+    *        lost executor kills the job; `reliable = true` is the
+    *        cluster default (Pipeline.Config.reliableCheckpointDir
+    *        wires it).
     * @return (id, component) for every vertex in the edge list,
     *         component = min vertex id of the connected component
     */
-  def run(edges0: DataFrame, maxIter: Int = 30): DataFrame = {
+  def run(edges0: DataFrame, maxIter: Int = 30,
+      reliable: Boolean = false): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
+    def ck(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
     val e = edges0.toDF("src", "dst").where($"src" =!= $"dst")
     // no distinct: duplicate edges cannot exist when the upstream pair
     // table is id-ordered + deduped, and min-label propagation absorbs
     // them anyway — the dedup exchange would cost more than it saves
-    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src") // fixed partitioning reused by every round's join
-      .localCheckpoint(true)
+    val sym = ck(e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      .repartition($"src")) // fixed partitioning reused by every round's join
 
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("component", $"id")
-      .localCheckpoint(true)
+    var labels = ck(sym.select($"src".as("id")).distinct()
+      .withColumn("component", $"id"))
 
     def sumOf(df: DataFrame): java.math.BigDecimal = df
       .agg(sum($"component".cast("decimal(38,0)")).as("s"))
@@ -71,7 +82,7 @@ object ConnectedComponents {
         .groupBy($"id")
         .agg(min($"component").as("component"))
         .observe(obsName, sum($"component".cast("decimal(38,0)")).as("s"))
-      val next = observed.localCheckpoint(true) // the round's single action
+      val next = ck(observed) // the round's single action
       val s = observed.queryExecution.observedMetrics.get(obsName)
         .map(_.getDecimal(0)).getOrElse(sumOf(next))
       converged = s.compareTo(prevSum) == 0
@@ -115,10 +126,11 @@ object ConnectedComponents {
 
   /** Cluster ids for every vertex in `vertices` (single id column);
     * vertices absent from the edge list map to themselves. */
-  def assignAll(edges: DataFrame, vertices: DataFrame): DataFrame = {
+  def assignAll(edges: DataFrame, vertices: DataFrame,
+      reliable: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val assigned = run(edges)
+    val assigned = run(edges, reliable = reliable)
     vertices.toDF("id")
       .join(assigned, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))

@@ -38,20 +38,22 @@ object Lineage {
       case c => c.toString
     }
 
-  /** Run (or resume) a stage. Returns the committed DataFrame. */
+  /** Run (or resume) a stage through the [[TableIO]] seam. Returns
+    * the committed DataFrame. */
   def stage(spark: SparkSession, root: String, name: String,
-      inputFingerprint: String, configHash: String)
+      inputFingerprint: String, configHash: String,
+      io: TableIO = ParquetTableIO)
       (build: => DataFrame): DataFrame = {
     val dir = s"$root/$name"
     val metaPath = Paths.get(s"$dir/_lineage.json")
     val expected = s""""input":"${esc(inputFingerprint)}","config":"${esc(configHash)}""""
     if (Files.exists(metaPath) &&
         new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8).contains(expected)) {
-      return spark.read.parquet(dir)
+      return io.read(spark, dir)
     }
     val t0 = System.nanoTime()
     val built = build
-    built.write.mode("overwrite").parquet(dir)
+    io.write(built, dir)
     // observe() probes planted by the stages (pairs in/accepted,
     // keyed/capped row counts) materialize with the write action;
     // commit them into the sidecar so cap/skew decisions are
@@ -72,7 +74,7 @@ object Lineage {
         }.mkString(",")
         s""""${esc(n)}":{$fields}"""
       }.mkString("{", ",", "}")
-    val committed = spark.read.parquet(dir)
+    val committed = io.read(spark, dir)
     val perFile = committed.groupBy(input_file_name().as("file")).count()
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val rows = perFile.map(_._2).sum

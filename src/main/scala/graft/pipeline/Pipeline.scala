@@ -50,7 +50,14 @@ object Pipeline {
       // postproc-ppl.py:15-24 — drop person-looking rows from the
       // FINAL output (in addition to normalize's person veto, which
       // uses a different dictionary and fires earlier).
-      postFilterPeople: Boolean = true) {
+      postFilterPeople: Boolean = true,
+      // fault-tolerant checkpointing (the CLUSTER default): when set,
+      // CC rounds and the endToEnd output use reliable checkpoint()
+      // into this directory (HDFS/object storage in production)
+      // instead of executor-memory localCheckpoint, so a lost executor
+      // cannot kill a multi-hour job. None = local mode. Excluded from
+      // `hash`: checkpoint placement never changes results.
+      reliableCheckpointDir: Option[String] = None) {
     def hash: String = Lineage.sha("v3", cutoff.toString, removePeople.toString,
       maxBlockSize.toString, runawayBlockSize.toString, ccMaxIter.toString,
       postFilterPeople.toString)
@@ -288,9 +295,12 @@ object Pipeline {
       .select("id_a", "id_b", "code", "score")
 
   /** Edges → (id, component). */
-  def cluster(edges: DataFrame, vertices: DataFrame, cfg: Config = Config()): DataFrame =
+  def cluster(edges: DataFrame, vertices: DataFrame, cfg: Config = Config()): DataFrame = {
+    cfg.reliableCheckpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     ConnectedComponents.assignAll(
-      edges.select(col("id_a"), col("id_b")), vertices)
+      edges.select(col("id_a"), col("id_b")), vertices,
+      reliable = cfg.reliableCheckpointDir.isDefined)
+  }
 
   /** Full pages → clusters dataflow. The normalized-names and edge
     * tables are consumed by several downstream actions (key census,
@@ -310,32 +320,37 @@ object Pipeline {
     val filtered =
       if (cfg.postFilterPeople) joined.where(!gf.is_person(col("name")))
       else joined
-    val out = filtered
+    val projected = filtered
       .select(col("mention_id"), col("url"), col("name"), col("component"))
-      .localCheckpoint()
+    val out =
+      if (cfg.reliableCheckpointDir.isDefined) projected.checkpoint()
+      else projected.localCheckpoint()
     norm.unpersist()
     edges.unpersist()
     out
   }
 
   /** Full dataflow with per-stage committed outputs + lineage sidecars
-    * (resumable: rerun skips stages whose sidecar matches). */
+    * (resumable: rerun skips stages whose sidecar matches). All table
+    * reads/writes/fingerprints go through the [[TableIO]] seam —
+    * parquet+sidecars locally, an Iceberg binding in production. */
   def runResumable(spark: SparkSession, pages: DataFrame, root: String,
-      pagesFingerprint: String, cfg: Config = Config()): DataFrame = {
+      pagesFingerprint: String, cfg: Config = Config(),
+      io: TableIO = ParquetTableIO): DataFrame = {
     val ch = cfg.hash
-    val mentions = Lineage.stage(spark, root, "mentions", pagesFingerprint, ch) {
+    val mentions = Lineage.stage(spark, root, "mentions", pagesFingerprint, ch, io) {
       extractMentions(pages)
     }
-    val mFp = Lineage.dirFingerprint(s"$root/mentions")
-    val norm = Lineage.stage(spark, root, "names_norm", mFp, ch) {
+    val mFp = io.fingerprint(s"$root/mentions")
+    val norm = Lineage.stage(spark, root, "names_norm", mFp, ch, io) {
       normalize(mentions.select(col("mention_id").as("id"), col("name")), cfg)
     }
-    val nFp = Lineage.dirFingerprint(s"$root/names_norm")
-    val edges = Lineage.stage(spark, root, "edges", nFp, ch) {
+    val nFp = io.fingerprint(s"$root/names_norm")
+    val edges = Lineage.stage(spark, root, "edges", nFp, ch, io) {
       scoreCandidates(candidatesSelf(norm, cfg), cfg)
     }
-    val eFp = Lineage.dirFingerprint(s"$root/edges")
-    Lineage.stage(spark, root, "clusters", eFp, ch) {
+    val eFp = io.fingerprint(s"$root/edges")
+    Lineage.stage(spark, root, "clusters", eFp, ch, io) {
       cluster(edges, norm.select("id"), cfg)
     }
   }

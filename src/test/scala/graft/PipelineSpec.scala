@@ -98,6 +98,56 @@ class PipelineSpec extends SparkSuite {
     assert(rec > 0.5, s"recall $rec") // typo'd variants are intentionally hard
   }
 
+  test("reliable checkpointing: CC + endToEnd identical under checkpoint()") {
+    import spark.implicits._
+    val ckDir = Files.createTempDirectory("graft_reliable_ck").toString
+    // CC itself: same labels either way
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val local = ConnectedComponents.run(edges).as[(Long, Long)].collect().toSet
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val reliable = ConnectedComponents.run(edges, reliable = true)
+      .as[(Long, Long)].collect().toSet
+    assert(reliable == local)
+    assert(new java.io.File(ckDir).listFiles().nonEmpty,
+      "reliable mode must write to the checkpoint dir")
+    // the Config wiring: endToEnd output unchanged under the flag
+    val a = Pipeline.endToEnd(pages).select("mention_id", "component")
+      .as[(Long, Long)].collect().toSet
+    val b = Pipeline.endToEnd(pages,
+        Pipeline.Config(reliableCheckpointDir = Some(ckDir)))
+      .select("mention_id", "component").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("TableIO seam: runResumable routes every read/write/fingerprint through it") {
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val writes = new java.util.concurrent.atomic.AtomicInteger
+    val fps = new java.util.concurrent.atomic.AtomicInteger
+    val counting = new graft.pipeline.TableIO {
+      def read(s: org.apache.spark.sql.SparkSession, p: String) = {
+        reads.incrementAndGet(); graft.pipeline.ParquetTableIO.read(s, p)
+      }
+      def write(df: org.apache.spark.sql.DataFrame, p: String) = {
+        writes.incrementAndGet(); graft.pipeline.ParquetTableIO.write(df, p)
+      }
+      def fingerprint(p: String) = {
+        fps.incrementAndGet(); graft.pipeline.ParquetTableIO.fingerprint(p)
+      }
+    }
+    val root = Files.createTempDirectory("graft_tableio").toString
+    val fp = Lineage.sha("pages-tableio-v1")
+    val first = Pipeline.runResumable(spark, pages, root, fp, io = counting)
+      .collect().toSet
+    assert(writes.get == 4, s"4 stage commits expected, saw ${writes.get}")
+    assert(fps.get == 3, s"3 chained fingerprints expected, saw ${fps.get}")
+    val w1 = writes.get
+    // resume: all reads, no writes, same rows — through the same seam
+    val second = Pipeline.runResumable(spark, pages, root, fp, io = counting)
+      .collect().toSet
+    assert(writes.get == w1, "resume must not rewrite committed stages")
+    assert(second == first)
+  }
+
   test("hot blocking keys are salted, not dropped: every hot-block pair is found") {
     import spark.implicits._
     val cfg = Pipeline.Config(maxBlockSize = 10, runawayBlockSize = 50)
