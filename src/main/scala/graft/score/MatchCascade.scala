@@ -97,12 +97,26 @@ object MatchCascade extends Serializable {
   def score(a: String, b: String): Int =
     score(NameAnalysis.of(a), NameAnalysis.of(b))
 
+  /** Test-only variant of [[score]] with the ALTERNATIVE reading of
+    * matcher.py:312's list-input `token_sort_ratio([x0,x1],[y0,y1])`:
+    * real rapidfuzz is not installable in this sandbox (no egress), so
+    * whether it sorts a list input's elements before the sequence
+    * Indel is unverifiable here. The engine (and the shim that
+    * generated the goldens) treat the list as unsorted; this entry
+    * point sorts the two-token lists first. DecisionStabilitySpec
+    * sweeps synthetic pairs and asserts the accept DECISION is
+    * identical under both readings, so the unverified choice cannot
+    * flip a match either way. */
+  private[graft] def scoreSortedListGate(a: String, b: String): Int =
+    score(NameAnalysis.of(a), NameAnalysis.of(b), sortedListGate = true)
+
   /** UTF8String entry point for the Catalyst expression hot path. */
   def scoreUtf8(a: org.apache.spark.unsafe.types.UTF8String,
       b: org.apache.spark.unsafe.types.UTF8String): Int =
     score(NameAnalysis.ofUtf8(a), NameAnalysis.ofUtf8(b))
 
-  def score(aa: NameAnalysis, ba: NameAnalysis): Int = {
+  def score(aa: NameAnalysis, ba: NameAnalysis,
+      sortedListGate: Boolean = false): Int = {
     val a = aa.name
     val b = ba.name
     val eng = Dictionaries.eng
@@ -322,9 +336,16 @@ object MatchCascade extends Serializable {
       // token_sort_ratio([x0,x1],[y0,y1]) — elementwise Indel over the
       // 2-token sequences (rapidfuzz list semantics)
       val pairGate = {
+        // sortedListGate (test-only, see scoreSortedListGate): the
+        // alternative rapidfuzz reading sorts each 2-token list before
+        // the sequence Indel
+        val (x0, x1) =
+          if (sortedListGate && x(1) < x(0)) (x(1), x(0)) else (x(0), x(1))
+        val (y0, y1) =
+          if (sortedListGate && y(1) < y(0)) (y(1), y(0)) else (y(0), y(1))
         val lcs =
-          if (x(0) == y(0) && x(1) == y(1)) 2
-          else if (x(0) == y(0) || x(0) == y(1) || x(1) == y(0) || x(1) == y(1)) 1
+          if (x0 == y0 && x1 == y1) 2
+          else if (x0 == y0 || x0 == y1 || x1 == y0 || x1 == y1) 1
           else 0
         // seq Indel ratio of two 2-token lists: 100·(1 − (4−2·LCS)/4)
         100.0 * (1.0 - (4 - 2 * lcs) / 4.0)
