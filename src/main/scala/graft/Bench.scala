@@ -118,6 +118,15 @@ object Bench {
       "er_edges", "er_clusters", "er_match")
     val s1 = session(cpus)
     try {
+      // untimed warmup: absorb JIT/codegen/classloader/file-index
+      // warmup so the first timed slot isn't charged for it (round-2
+      // artifact: q1 read 5.0s purely from running first; a
+      // long-running cluster service is warm). One cheap relational
+      // query + one ANN shape covers the two codegen families.
+      for (w <- Seq("q1_pricing", "q16_ann_topk")) {
+        try SparkEntry.queries(w)(s1, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $w: $e") }
+      }
       headline.foreach { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(s1, sfDir).count()

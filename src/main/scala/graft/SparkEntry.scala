@@ -247,6 +247,11 @@ object SparkEntry {
       AnnOps.lshKnn(s.read.parquet(t(dir, "embeddings")),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, bits = 8)
         .withColumn("rank", col("rank").cast("long"))),
+    "q26_ann_topk_agg" -> ((s, dir) =>
+      // k-bounded two-level aggregation variant of q16 — the shape
+      // that survives large query counts (no per-query window)
+      AnnOps.bruteKnnAgg(s.read.parquet(t(dir, "embeddings")),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
     "q24_ann_ivf" -> ((s, dir) =>
       AnnOps.ivfKnn(s.read.parquet(t(dir, "embeddings")),
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
@@ -520,6 +525,17 @@ object SparkEntry {
         |AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |    CAST(q.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
     "q16_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS "rank", neighbor_id,
+        |ROUND(cos, 4) AS cosine
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 10""".stripMargin,
+    "q26_ann_topk_agg" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -120,6 +120,38 @@ object AnnOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cosine"))
   }
 
+  /** Brute-force top-k via a two-level k-BOUNDED aggregation — the
+    * large-query-count shape. [[bruteKnn]]'s per-query window sorts
+    * each query's entire scored corpus slice in ONE task (parallelism
+    * capped at #queries — fine at 5, a straggler at 50k queries);
+    * here every (query, shard) group keeps only its local top-k
+    * structs, and the per-query merge sorts just shards × k rows.
+    * No group ever holds more than max(corpus/shards, shards × k)
+    * rows. Output contract identical to [[bruteKnn]]: rank by cosine
+    * desc, ties to the smaller neighbor_id — encoded as ascending
+    * (-cos, neighbor_id) struct sort, float negation being exact. */
+  def bruteKnnAgg(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, shards: Int = 64): DataFrame = {
+    val q = emb.where(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        pmod(xxhash64(col("neighbor_id")), lit(shards)).as("shard"),
+        struct((-cosine(col("qvec"), col("nvec"))).as("negcos"),
+          col("neighbor_id").as("neighbor_id")).as("s"))
+    val partial = scored.groupBy("query_id", "shard")
+      .agg(slice(array_sort(collect_list(col("s"))), 1, k).as("top"))
+    partial.select(col("query_id"), explode(col("top")).as("s"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("s"))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(-col("col.negcos"), 4).as("cosine"))
+  }
+
   /** IVF-flat coarse-quantizer assignment: every vector → its nearest
     * centroid (max cosine, ties → smaller centroid id). Centroids are
     * a deterministic sample of corpus vectors (standard IVF sampled

@@ -124,7 +124,17 @@ object Pipeline {
     *    of block_size² — the "top-key splitting" of the north rule;
     *  - block_size > runawayBlockSize: dropped, counted, logged.
     */
-  def candidatePairsSelf(keyed: DataFrame, cfg: Config = Config()): DataFrame = {
+  def candidatePairsSelf(keyed0: DataFrame, cfg: Config = Config(),
+      cacheKeyed: Boolean = true): DataFrame = {
+    // the keyed table is consumed ~6× below (census for the anti-join,
+    // census for the salt plan, both small-join sides, the hot join's
+    // two sides) and each uncached scan re-evaluates the blocking_keys
+    // explode (double-metaphone + minhash per row — the expensive
+    // part). (id, key) rows are ~30 bytes: persist them once. Callers
+    // that rebuild per micro-batch pass cacheKeyed = false and manage
+    // caching themselves (a per-batch CacheManager entry never
+    // released would grow without bound).
+    val keyed = if (cacheKeyed) keyed0.persist() else keyed0
     val sizes = blockSizes(keyed)
     val oversize = sizes.where(col("block_size") > cfg.maxBlockSize)
     val small = keyed.join(broadcast(oversize.select("key")), Seq("key"), "left_anti")
@@ -221,7 +231,8 @@ object Pipeline {
     if (cacheInputs) { main.persist(); base.persist() } // each side: key explode + attachNames probe
     val keyedM = withBlockingKeys(main).select(col("key"), col("id").as("id_a"))
     val keyedB = withBlockingKeys(base).select(col("key"), col("id").as("id_b"))
-    attachNames2(candidatePairsTwoSided(keyedM, keyedB, cfg), main, base)
+    attachNames2(candidatePairsTwoSided(keyedM, keyedB, cfg,
+      cacheKeyed = cacheInputs), main, base)
   }
 
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —
@@ -230,8 +241,13 @@ object Pipeline {
     * salt = hash(id) mod nsalt, the main row is replicated to every
     * salt — per-task work ≤ maxBlockSize base rows × matching main
     * rows. Runaway base blocks (> runawayBlockSize) are dropped. */
-  def candidatePairsTwoSided(keyedM: DataFrame, keyedB: DataFrame,
-      cfg: Config = Config()): DataFrame = {
+  def candidatePairsTwoSided(keyedM0: DataFrame, keyedB0: DataFrame,
+      cfg: Config = Config(), cacheKeyed: Boolean = true): DataFrame = {
+    // see candidatePairsSelf: the keyed sides are multiply consumed
+    // (base: census ×2 + small join + hot join; main: small + hot) and
+    // every uncached scan re-runs the blocking_keys explode
+    val keyedM = if (cacheKeyed) keyedM0.persist() else keyedM0
+    val keyedB = if (cacheKeyed) keyedB0.persist() else keyedB0
     val sizes = keyedB.groupBy("key").agg(count(lit(1)).as("block_size"))
     val oversize = sizes.where(col("block_size") > cfg.maxBlockSize).select("key")
     val smallPairs = keyedM
