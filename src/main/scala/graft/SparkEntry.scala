@@ -137,7 +137,10 @@ object SparkEntry {
       // result is deterministic, so it gets a full DuckDB oracle.
       import org.apache.spark.sql.streaming.Trigger
       val pagesDir = s"/tmp/graft_stream_pages_${entityCountFor(dir)}"
-      pagesFor(s, dir).write.mode("overwrite").parquet(pagesDir)
+      // the replay corpus is deterministic per entity count: write it
+      // once (committed = _SUCCESS present), not on every invocation
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$pagesDir/_SUCCESS")))
+        pagesFor(s, dir).write.mode("overwrite").parquet(pagesDir)
       val mentions = graft.streaming.StreamingPipeline.streamingMentions(s, pagesDir)
         .where(col("pre_proc") =!= "") // mirror the memo's empty-drop
       val counts = graft.streaming.StreamingPipeline.windowedMentionCounts(mentions)
@@ -311,7 +314,15 @@ object SparkEntry {
       MediaOps.sampleFrames(
         MediaOps.mediaTable(s.read.parquet(t(dir, "documents")), "doc_id", "text"),
         n = 5)
-        .select("media_id", "frame_idx", "frame_off"))
+        .select("media_id", "frame_idx", "frame_off")),
+    "q27_media_resize" -> ((s, dir) =>
+      // resize is a deterministic fake (no codecs in the sandbox); the
+      // oracle checks the relational skeleton — one thumb per media
+      // row, the documented max(1, w·h/64) output-size contract
+      MediaOps.resizeAll(
+        MediaOps.mediaTable(s.read.parquet(t(dir, "documents")), "doc_id", "text"),
+        w = 64, h = 48)
+        .select("media_id", "byte_len", "thumb_len"))
   )
 
   // Shorthands for the committed oracle-input tables (written by
@@ -615,6 +626,11 @@ object SparkEntry {
         |     ELSE (CAST(octet_length(encode(text)) - 256 AS BIGINT) * r.range) // 4
         |     END AS INTEGER) AS frame_off
         |FROM documents CROSS JOIN range(0, 5) r""".stripMargin,
+    "q27_media_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |CAST(GREATEST(1, (64 * 48) // 64) AS INTEGER) AS thumb_len
+        |FROM documents""".stripMargin,
     "q22_rare_tokens" ->
       s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
          |n AS (SELECT m.id, d.pre_proc FROM m JOIN $MEMO d USING (name)),

@@ -1,6 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -92,13 +95,27 @@ object MediaOps {
         }
       }(org.apache.spark.sql.Encoders.row(frameSchema))
 
-  /** Resize stage over the media table: adds (width, height, thumb). */
-  def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val resize = org.apache.spark.sql.functions.udf(
-      (p: Array[Byte]) => resizeStub(p, w, h))
-    media.withColumn("thumb", resize(col("payload")))
-      .withColumn("thumb_len", length(col("thumb")).cast(IntegerType))
+  /** Typed resize expression (like every sibling op — a Scala UDF here
+    * would be opaque to Catalyst's null handling and stats). Output
+    * size contract: max(1, (w·h)/64) bytes — the relational skeleton
+    * the q27 oracle checks. */
+  case class ResizeExpr(child: Expression, w: Int, h: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(p: Any): Any =
+      resizeStub(p.asInstanceOf[Array[Byte]], w, h)
+    override def prettyName: String = "media_resize"
+    override protected def withNewChildInternal(c: Expression): ResizeExpr =
+      copy(child = c)
   }
+
+  def resize(c: Column, w: Int, h: Int): Column =
+    GraftBridge.column(ResizeExpr(GraftBridge.expression(c), w, h))
+
+  /** Resize stage over the media table: adds (thumb, thumb_len). */
+  def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("thumb", resize(col("payload"), w, h))
+      .withColumn("thumb_len", length(col("thumb")).cast(IntegerType))
 
   /** Batched per-partition feature extraction (the mapPartitions shape
     * a real codec needs: one codec instance per partition, streamed
