@@ -86,7 +86,7 @@ object SparkEntry {
     "er_candidates" -> ((s, dir) =>
       Pipeline.candidatesSelf(mentionsNorm(s, dir)).select("id_a", "id_b")),
     "er_edges" -> ((s, dir) =>
-      Pipeline.scoreCandidates(Pipeline.candidatesSelf(mentionsNorm(s, dir)))
+      Pipeline.scoreCandidates(Pipeline.edgeCandidatesSelf(mentionsNorm(s, dir)))
         .select("id_a", "id_b", "code", "score")),
     "er_clusters" -> ((s, dir) => Pipeline.endToEnd(pagesFor(s, dir))
       .select("mention_id", "url", "component")),
@@ -109,7 +109,7 @@ object SparkEntry {
         mentions.select(col("mention_id").as("id"), col("name")))
       val baseRaw = PagesGen.baseUniverse(s, entityCountFor(dir))
       val base = Pipeline.normalize(baseRaw)
-      val edges = Pipeline.scoreCandidates(Pipeline.candidatesTwoSided(main, base))
+      val edges = Pipeline.scoreCandidates(Pipeline.edgeCandidatesTwoSided(main, base))
       edges
         .join(mentions.select(col("mention_id").as("id_a"), col("name").as("main_name")),
           Seq("id_a"))

@@ -63,11 +63,11 @@ object Verify {
     // er_edges / er_clusters / er_pair_mode / er_match / er_permutation
     // as relational skeletons over these
     dump("_input_cand_codes")(
-      Pipeline.scoredCodes(Pipeline.candidatesSelf(norm)))
+      Pipeline.scoredCodes(Pipeline.edgeCandidatesSelf(norm)))
     dump("_input_pair_codes")(
       Pipeline.scoredCodes(Pipeline.attachNames(SparkEntry.modPairs(norm), norm)))
     dump("_input_match_codes")(
-      Pipeline.scoredCodes(Pipeline.candidatesTwoSided(norm, baseNorm)))
+      Pipeline.scoredCodes(Pipeline.edgeCandidatesTwoSided(norm, baseNorm)))
     dump("_input_perm_codes")(
       Pipeline.attachNames(SparkEntry.modPairs(norm), norm)
         .withColumn("pcode",

@@ -22,12 +22,17 @@ import graft.text.AbbrTables
   */
 object BlockingKeys extends Serializable {
 
-  // 12 bands × 2 rows: a typo'd-pair shingle Jaccard of ~0.6 still
-  // collides with p ≈ 1−(1−0.36)^12 ≈ 0.995; the extra low-similarity
-  // candidates this admits are absorbed by the block-size cap and the
-  // cheap token_set_ratio prefilter.
+  // 8 bands × 3 rows: a typo'd-pair shingle Jaccard of ~0.6 collides
+  // with p ≈ 1−(1−0.216)^8 ≈ 0.86 on the minhash tier ALONE — and the
+  // phonetic/prefix/token-sort keys cover the same pairs from a second
+  // angle (the golden-accepted recall spec measures the union at 100%).
+  // The earlier 12 × 2 banding had r = 2, which admits J ≈ 0.3
+  // non-pairs with p ≈ 0.68: at sf0.1 that made minhash bands the top
+  // ~280 hot keys (500–5000 members each, ~69M raw pairs that the
+  // prefilter then rejected); r = 3 cuts that collision mass ~10×
+  // while the accepted pairs stay reachable.
   val DefaultNumHashes = 24
-  val DefaultBands = 12
+  val DefaultBands = 8
 
   // stop tokens never used as the "informative" anchor (suffix ∪ na,
   // matcher.py:122-136)

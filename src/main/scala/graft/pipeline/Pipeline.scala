@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cluster.ConnectedComponents
@@ -123,9 +123,14 @@ object Pipeline {
     *    per-task work is bounded by maxBlockSize × block_size instead
     *    of block_size² — the "top-key splitting" of the north rule;
     *  - block_size > runawayBlockSize: dropped, counted, logged.
+    *
+    * With `earlyFilter` the keyed table must also carry `nosuffix` and
+    * the cheap token_set_ratio prefilter runs INSIDE each tier's join,
+    * before the pair-dedup `distinct()` — see [[edgeCandidatesSelf]]
+    * for why that ordering is the 100 TB shape.
     */
   def candidatePairsSelf(keyed0: DataFrame, cfg: Config = Config(),
-      cacheKeyed: Boolean = true): DataFrame = {
+      cacheKeyed: Boolean = true, earlyFilter: Boolean = false): DataFrame = {
     // the keyed table is consumed ~6× below (census for the anti-join,
     // census for the salt plan, both small-join sides, the hot join's
     // two sides) and each uncached scan re-evaluates the blocking_keys
@@ -139,28 +144,39 @@ object Pipeline {
     val oversize = sizes.where(col("block_size") > cfg.maxBlockSize)
     val small = keyed.join(broadcast(oversize.select("key")), Seq("key"), "left_anti")
       .observe("graft_capped_rows", count(lit(1)).as("rows_kept"))
+    def sideA(df: DataFrame, extra: Column*): DataFrame =
+      if (earlyFilter)
+        df.select(Seq(col("key"), col("id").as("id_a"),
+          col("nosuffix").as("nos_a")) ++ extra: _*)
+      else df.select(Seq(col("key"), col("id").as("id_a")) ++ extra: _*)
+    def sideB(df: DataFrame, extra: Column*): DataFrame =
+      if (earlyFilter)
+        df.select(Seq(col("key"), col("id").as("id_b"),
+          col("nosuffix").as("nos_b")) ++ extra: _*)
+      else df.select(Seq(col("key"), col("id").as("id_b")) ++ extra: _*)
+    val keep =
+      if (earlyFilter)
+        col("id_a") < col("id_b") &&
+          gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff)
+      else col("id_a") < col("id_b")
     // SHUFFLE_HASH: the designed bucketed hash join on blocking keys.
     // A broadcast join here would inherit the (possibly AQE-coalesced,
     // single-partition) left side's parallelism and serialize
     // everything downstream. Pair dedup runs on the 16-byte id pair
     // BEFORE the name strings are joined back — at web scale the
     // duplicate-key traffic is the dominant shuffle.
-    val a = small.select(col("key"), col("id").as("id_a"))
-    val b = small.select(col("key"), col("id").as("id_b"))
-    val smallPairs = a.join(b.hint("SHUFFLE_HASH"), Seq("key"))
-      .where(col("id_a") < col("id_b"))
+    val smallPairs = sideA(small).join(sideB(small).hint("SHUFFLE_HASH"), Seq("key"))
+      .where(keep)
       .select("id_a", "id_b")
     // salted tier: each unordered pair {x,y} of a hot block appears
     // exactly once — x carries one salt, y is replicated to all salts,
     // so (x,y) meets at salt(x) and the id_a < id_b filter keeps one
     // direction
     val hotKeyed = keyed.join(broadcast(saltPlan(sizes, cfg)), Seq("key"))
-    val hotA = hotKeyed.select(col("key"),
-      pmod(xxhash64(col("id")), col("nsalt")).as("salt"), col("id").as("id_a"))
-    val hotB = hotKeyed.select(col("key"),
-      explode(sequence(lit(0L), col("nsalt") - 1)).as("salt"), col("id").as("id_b"))
+    val hotA = sideA(hotKeyed, pmod(xxhash64(col("id")), col("nsalt")).as("salt"))
+    val hotB = sideB(hotKeyed, explode(sequence(lit(0L), col("nsalt") - 1)).as("salt"))
     val hotPairs = hotA.join(hotB.hint("SHUFFLE_HASH"), Seq("key", "salt"))
-      .where(col("id_a") < col("id_b"))
+      .where(keep)
       .select("id_a", "id_b")
       .observe("graft_salted_pairs", count(lit(1)).as("pairs_salted"))
     smallPairs.unionByName(hotPairs).distinct()
@@ -185,6 +201,29 @@ object Pipeline {
     val keyed = withBlockingKeys(norm)
       .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
     attachNames(candidatePairsSelf(keyed, cfg), norm)
+  }
+
+  /** Prefilter-FUSED candidate generation — the edge-path variant of
+    * [[candidatesSelf]] used by everything that immediately scores
+    * (endToEnd, runResumable, er_edges, streaming).
+    *
+    * Produces exactly `candidatesSelf(norm) where prefilter_pass` (the
+    * gate commutes with the pair `distinct()` because it is a pure
+    * function of the pair), but the gate runs INSIDE the blocking join,
+    * so the ~99% of raw blocking pairs it rejects never reach the pair
+    * dedup exchange or the name hydration. Measured at sf0.1/local[32]:
+    * the unfused plan shuffles 33.9M distinct pairs and hydrates all of
+    * them to feed a prefilter that keeps 360k (1.1%) — 52s of the 63s
+    * er_edges wall-clock was dedup + hydration of doomed pairs. At
+    * 100 TB that dedup shuffle is the dominant job cost; the fused gate
+    * makes candidate volume track ACCEPTED density, not blocking-
+    * collision density. */
+  def edgeCandidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame = {
+    norm.persist()
+    val keyed = withBlockingKeys(norm)
+      .select(col("id"), col("key"), col("nosuffix"))
+      .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
+    attachNames(candidatePairsSelf(keyed, cfg, earlyFilter = true), norm)
   }
 
   /** Join the normalized-name columns back onto an (id_a, id_b) pair
@@ -235,6 +274,20 @@ object Pipeline {
       cacheKeyed = cacheInputs), main, base)
   }
 
+  /** Prefilter-fused two-sided candidates — see [[edgeCandidatesSelf]]
+    * for the ordering argument; identical output to
+    * `candidatesTwoSided where prefilter_pass`. */
+  def edgeCandidatesTwoSided(main: DataFrame, base: DataFrame,
+      cfg: Config = Config(), cacheInputs: Boolean = true): DataFrame = {
+    if (cacheInputs) { main.persist(); base.persist() }
+    val keyedM = withBlockingKeys(main)
+      .select(col("key"), col("id").as("id_a"), col("nosuffix").as("nos_a"))
+    val keyedB = withBlockingKeys(base)
+      .select(col("key"), col("id").as("id_b"), col("nosuffix").as("nos_b"))
+    attachNames2(candidatePairsTwoSided(keyedM, keyedB, cfg,
+      cacheKeyed = cacheInputs, earlyFilter = true), main, base)
+  }
+
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —
     * census on the BASE side (the universe is where stop-word-like
     * blocks form). Hot base blocks are salted: the base row carries
@@ -242,7 +295,8 @@ object Pipeline {
     * salt — per-task work ≤ maxBlockSize base rows × matching main
     * rows. Runaway base blocks (> runawayBlockSize) are dropped. */
   def candidatePairsTwoSided(keyedM0: DataFrame, keyedB0: DataFrame,
-      cfg: Config = Config(), cacheKeyed: Boolean = true): DataFrame = {
+      cfg: Config = Config(), cacheKeyed: Boolean = true,
+      earlyFilter: Boolean = false): DataFrame = {
     // see candidatePairsSelf: the keyed sides are multiply consumed
     // (base: census ×2 + small join + hot join; main: small + hot) and
     // every uncached scan re-runs the blocking_keys explode
@@ -250,18 +304,22 @@ object Pipeline {
     val keyedB = if (cacheKeyed) keyedB0.persist() else keyedB0
     val sizes = keyedB.groupBy("key").agg(count(lit(1)).as("block_size"))
     val oversize = sizes.where(col("block_size") > cfg.maxBlockSize).select("key")
-    val smallPairs = keyedM
+    def gated(pairs: DataFrame): DataFrame =
+      if (earlyFilter)
+        pairs.where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+      else pairs
+    val smallPairs = gated(keyedM
       .join(keyedB.join(broadcast(oversize), Seq("key"), "left_anti").hint("SHUFFLE_HASH"),
-        Seq("key"))
+        Seq("key")))
       .select("id_a", "id_b")
     val salts = saltPlan(sizes, cfg)
     val hotB = keyedB.join(broadcast(salts), Seq("key"))
-      .select(col("key"), pmod(xxhash64(col("id_b")), col("nsalt")).as("salt"),
-        col("id_b"))
+      .select(keyedB.columns.filter(_ != "key").map(col) ++ Seq(col("key"),
+        pmod(xxhash64(col("id_b")), col("nsalt")).as("salt")): _*)
     val hotM = keyedM.join(broadcast(salts), Seq("key"))
-      .select(col("key"), explode(sequence(lit(0L), col("nsalt") - 1)).as("salt"),
-        col("id_a"))
-    val hotPairs = hotM.join(hotB.hint("SHUFFLE_HASH"), Seq("key", "salt"))
+      .select(keyedM.columns.filter(_ != "key").map(col) ++ Seq(col("key"),
+        explode(sequence(lit(0L), col("nsalt") - 1)).as("salt")): _*)
+    val hotPairs = gated(hotM.join(hotB.hint("SHUFFLE_HASH"), Seq("key", "salt")))
       .select("id_a", "id_b")
       .observe("graft_salted_pairs_2s", count(lit(1)).as("pairs_salted"))
     smallPairs.unionByName(hotPairs).distinct()
@@ -327,7 +385,7 @@ object Pipeline {
     val mentions = extractMentions(pages)
     val norm = normalize(mentions.select(col("mention_id").as("id"), col("name")), cfg)
       .persist()
-    val cand = candidatesSelf(norm, cfg)
+    val cand = edgeCandidatesSelf(norm, cfg)
     val edges = scoreCandidates(cand, cfg).persist()
     val clusters = cluster(edges, norm.select("id"), cfg)
     val joined = mentions.join(clusters, mentions("mention_id") === clusters("id"))
@@ -363,7 +421,7 @@ object Pipeline {
     }
     val nFp = io.fingerprint(s"$root/names_norm")
     val edges = Lineage.stage(spark, root, "edges", nFp, ch, io) {
-      scoreCandidates(candidatesSelf(norm, cfg), cfg)
+      scoreCandidates(edgeCandidatesSelf(norm, cfg), cfg)
     }
     val eFp = io.fingerprint(s"$root/edges")
     Lineage.stage(spark, root, "clusters", eFp, ch, io) {

@@ -82,7 +82,7 @@ object StreamingPipeline {
 
   private def matchNormalized(main: DataFrame, baseNorm: DataFrame): DataFrame =
     graft.pipeline.Pipeline.scoreCandidates(
-        graft.pipeline.Pipeline.candidatesTwoSided(main, baseNorm, cacheInputs = false))
+        graft.pipeline.Pipeline.edgeCandidatesTwoSided(main, baseNorm, cacheInputs = false))
       .select("id_a", "id_b", "code", "score")
 
   def incrementalEdges(spark: SparkSession, pagesDir: String,
