@@ -381,13 +381,77 @@ object Pipeline {
     * candidate join, CC iterations), so they are persisted — the
     * in-memory analog of the per-stage committed outputs in
     * [[runResumable]]. */
+  /** One node per DISTINCT normalized name, id = min mention id
+    * carrying that name. Deterministic (no monotonically_increasing_id
+    * — ids must be stable across retries for the resume story), and
+    * the id choice makes name-level clustering label-identical to
+    * mention-level clustering (see [[clusterMentions]]). */
+  def nameNodes(norm: DataFrame): DataFrame =
+    norm.groupBy("pre_proc")
+      .agg(min(col("id")).as("id"),
+        // nosuffix is a pure function of pre_proc — any row's value
+        first(col("nosuffix")).as("nosuffix"))
+
+  /** Name-node components → per-mention components, bit-identically
+    * to mention-level scoring.
+    *
+    * A name's mentions form a clique in the mention-level graph iff
+    * `match(a,a)` accepts — which is NOT always (matcher.py rejects
+    * identical too-general names with −21 and all-suffix names with
+    * −1/−2), so blind contraction would wrongly merge self-rejecting
+    * same-name mentions. The exact rule: a mention inherits its name
+    * node's component iff the name SELF-ACCEPTS or has ≥1 accepted
+    * edge (then mention-level merges its mentions transitively through
+    * the partner anyway); otherwise the mention is its own singleton —
+    * exactly what mention-level CC produces. Label identity holds
+    * because node id = min mention id per name, so min-label over
+    * nodes = min over the component's mention ids. Asserted
+    * bit-identical to the expanded mention-level path on a duplicated
+    * corpus (incl. self-rejecting names) in PipelineSpec. */
+  private def mentionComponents(norm: DataFrame, names: DataFrame,
+      edges: DataFrame, nameClusters: DataFrame): DataFrame = {
+    val endpoints = edges.select(col("id_a").as("nid"))
+      .unionByName(edges.select(col("id_b").as("nid"))).distinct()
+      .withColumn("has_edge", lit(true))
+    val nodeFlag = names
+      .select(col("pre_proc"), col("id").as("nid"),
+        (gf.opt_barrier(gf.match_score(col("pre_proc"), col("pre_proc"))) > 0)
+          .as("self_ok"))
+      .join(endpoints, Seq("nid"), "left")
+      .select(col("pre_proc"), col("nid"),
+        (col("self_ok") || coalesce(col("has_edge"), lit(false))).as("contract"))
+    // hydrate mentions: mention → its name node → the node's component.
+    // Both maps are distinct-name-sized (≪ mentions at web scale);
+    // broadcast keeps the mention table un-shuffled.
+    norm.select(col("id"), col("pre_proc"))
+      .join(broadcast(nodeFlag), Seq("pre_proc"))
+      .join(broadcast(nameClusters.withColumnRenamed("id", "nid")), Seq("nid"))
+      .select(col("id"),
+        when(col("contract"), col("component")).otherwise(col("id"))
+          .as("component"))
+  }
+
+  /** pages → (mention_id, url, name, component), scoring each DISTINCT
+    * normalized-name pair ONCE (match_pair.py:28-30's memo, taken to
+    * its relational conclusion) and expanding components back to
+    * mentions via [[mentionComponents]] (bit-identical to scoring
+    * mention pairs directly).
+    *
+    * Why it matters at 100 TB: mentions repeat names (the web repeats
+    * entities far more than it coins them), and pair volume is
+    * quadratic PER BLOCK — a 10× name-duplication factor costs 100×
+    * the pairs under mention-level scoring and 1× under name-level.
+    * Locally the bench corpus is ~98% distinct names, so this is an
+    * architecture property, not a bench win. */
   def endToEnd(pages: DataFrame, cfg: Config = Config()): DataFrame = {
     val mentions = extractMentions(pages)
     val norm = normalize(mentions.select(col("mention_id").as("id"), col("name")), cfg)
       .persist()
-    val cand = edgeCandidatesSelf(norm, cfg)
+    val names = nameNodes(norm).persist()
+    val cand = edgeCandidatesSelf(names, cfg)
     val edges = scoreCandidates(cand, cfg).persist()
-    val clusters = cluster(edges, norm.select("id"), cfg)
+    val nameClusters = cluster(edges, names.select("id"), cfg)
+    val clusters = mentionComponents(norm, names, edges, nameClusters)
     val joined = mentions.join(clusters, mentions("mention_id") === clusters("id"))
     // the reference's post-processing round trip (postproc-ppl.py:15-24)
     // as a final in-plan filter — no file round trip needed
@@ -400,6 +464,7 @@ object Pipeline {
       if (cfg.reliableCheckpointDir.isDefined) projected.checkpoint()
       else projected.localCheckpoint()
     norm.unpersist()
+    names.unpersist()
     edges.unpersist()
     out
   }
@@ -420,12 +485,17 @@ object Pipeline {
       normalize(mentions.select(col("mention_id").as("id"), col("name")), cfg)
     }
     val nFp = io.fingerprint(s"$root/names_norm")
+    // edges are NAME-level (one row per scored distinct-name pair —
+    // the committed face of the match memo); ids are min-mention-ids,
+    // so downstream consumers can still join them to mentions
     val edges = Lineage.stage(spark, root, "edges", nFp, ch, io) {
-      scoreCandidates(edgeCandidatesSelf(norm, cfg), cfg)
+      scoreCandidates(edgeCandidatesSelf(nameNodes(norm), cfg), cfg)
     }
     val eFp = io.fingerprint(s"$root/edges")
     Lineage.stage(spark, root, "clusters", eFp, ch, io) {
-      cluster(edges, norm.select("id"), cfg)
+      val names = nameNodes(norm)
+      val nameClusters = cluster(edges, names.select("id"), cfg)
+      mentionComponents(norm, names, edges, nameClusters)
     }
   }
 }

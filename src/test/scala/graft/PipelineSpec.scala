@@ -98,6 +98,40 @@ class PipelineSpec extends SparkSuite {
     assert(rec > 0.5, s"recall $rec") // typo'd variants are intentionally hard
   }
 
+  test("name-level memo scoring ≡ mention-level scoring (duplicated corpus, self-rejecting names)") {
+    // duplicate the corpus (same names under fresh urls → fresh mention
+    // ids) and inject mentions of names the cascade REJECTS against
+    // themselves (match(a,a) < 0: all-suffix "holdings" → −1,
+    // too-general "trust inc" → −21) — the branch where blind
+    // name-node contraction would diverge from mention-level scoring
+    val ts0 = new java.sql.Timestamp(0L)
+    val extra = (1 to 3).flatMap(i => Seq(
+      (s"https://dup.test/h$i", ts0, Array[Byte](), "Company: HOLDINGS", "en"),
+      (s"https://dup.test/t$i", ts0, Array[Byte](), "Company: TRUST CO", "en")))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val dup = pages.unionByName(pages.withColumn("url", concat($"url", lit("#d1"))))
+      .unionByName(extra)
+    val got = Pipeline.endToEnd(dup)
+      .select($"mention_id", $"url", $"component")
+    // the expanded comparator: score one pair per MENTION pair
+    val mentions = Pipeline.extractMentions(dup)
+    val norm = Pipeline.normalize(
+      mentions.select($"mention_id".as("id"), $"name")).persist()
+    val edges = Pipeline.scoreCandidates(Pipeline.edgeCandidatesSelf(norm))
+    val clusters = Pipeline.cluster(edges, norm.select("id"))
+    val want = mentions.join(clusters, mentions("mention_id") === clusters("id"))
+      .where(!graft.expr.functions.is_person($"name"))
+      .select(mentions("mention_id"), $"url", $"component")
+    val g = got.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w = want.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(g == w, s"name-level and mention-level cluster outputs differ: " +
+      s"only-name-level=${(g -- w).take(5)} only-mention-level=${(w -- g).take(5)}")
+    // and the self-rejecting duplicated names really stay singletons
+    val hcomp = g.filter(_._2.startsWith("https://dup.test/h")).map(_._3)
+    assert(hcomp.size == 3, s"holdings mentions merged: $hcomp")
+    norm.unpersist()
+  }
+
   test("reliable checkpointing: CC + endToEnd identical under checkpoint()") {
     import spark.implicits._
     val ckDir = Files.createTempDirectory("graft_reliable_ck").toString
