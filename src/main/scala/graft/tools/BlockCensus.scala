@@ -12,14 +12,19 @@ object BlockCensus {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val pages = graft.SparkEntry.pagesFor(spark, sfDir)
+    // "coined:<nEntities>" switches to the StressProbe corpus
+    val pages =
+      if (sfDir.startsWith("coined:"))
+        graft.pages.PagesGen.generate(spark, sfDir.stripPrefix("coined:").toInt,
+          4, partitions = 64, coined = true)
+      else graft.SparkEntry.pagesFor(spark, sfDir)
     val m = graft.pipeline.Pipeline.extractMentions(pages)
     val n = graft.pipeline.Pipeline.normalize(
       m.select(col("mention_id").as("id"), col("name")))
     val keyed = graft.pipeline.Pipeline.withBlockingKeys(n)
     val sizes = keyed.groupBy("key").agg(count(lit(1)).as("bs")).cache()
     println("CENSUS total keys=" + sizes.count())
-    for ((lo, hi) <- Seq((201, 500), (501, 1000), (1001, 2000), (2001, 4000), (4001, 100000))) {
+    for ((lo, hi) <- Seq((2, 200), (201, 500), (501, 1000), (1001, 2000), (2001, 4000), (4001, 100000))) {
       val rows = sizes.where(col("bs").between(lo, hi))
         .agg(count(lit(1)).as("keys"), sum(col("bs") * (col("bs") - 1) / 2).as("pairs"))
         .collect()(0)

@@ -13,6 +13,9 @@ import graft.pipeline.Pipeline
 object StressProbe {
   def main(args: Array[String]): Unit = {
     val nEnt = args.headOption.map(_.toLong).getOrElse(80000L)
+    // optional 2nd arg: runawayBlockSize (200 = round-2-style drop-all-
+    // hot-blocks capping, for the recall/cost tradeoff table)
+    val runaway = args.lift(1).map(_.toInt).getOrElse(4000)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
@@ -36,7 +39,8 @@ object StressProbe {
       mentions.select(col("mention_id").as("id"), col("name"))).persist()
     println(s"STRESS norm ${norm.count()}")
     mark("normalize")
-    val cand = Pipeline.candidatesSelf(norm)
+    val cfg = Pipeline.Config(runawayBlockSize = runaway)
+    val cand = Pipeline.edgeCandidatesSelf(norm, cfg)
     val edges = Pipeline.scoreCandidates(cand).persist()
     println(s"STRESS edges ${edges.count()}")
     mark("score")
