@@ -218,12 +218,22 @@ object Pipeline {
     * 100 TB that dedup shuffle is the dominant job cost; the fused gate
     * makes candidate volume track ACCEPTED density, not blocking-
     * collision density. */
-  def edgeCandidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame = {
+  def edgeCandidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame =
+    edgeCandidatesSelfKeyed(norm, cfg)._1
+
+  /** [[edgeCandidatesSelf]] plus the persisted keyed table's handle,
+    * so one-shot callers (endToEnd) can unpersist it once the job's
+    * terminal action has run — a repeated caller otherwise accumulates
+    * one never-released CacheManager entry per invocation. */
+  def edgeCandidatesSelfKeyed(norm: DataFrame,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
     norm.persist()
     val keyed = withBlockingKeys(norm)
       .select(col("id"), col("key"), col("nosuffix"))
       .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
-    attachNames(candidatePairsSelf(keyed, cfg, earlyFilter = true), norm)
+      .persist()
+    (attachNames(candidatePairsSelf(keyed, cfg, cacheKeyed = false,
+      earlyFilter = true), norm), keyed)
   }
 
   /** Join the normalized-name columns back onto an (id_a, id_b) pair
@@ -448,7 +458,7 @@ object Pipeline {
     val norm = normalize(mentions.select(col("mention_id").as("id"), col("name")), cfg)
       .persist()
     val names = nameNodes(norm).persist()
-    val cand = edgeCandidatesSelf(names, cfg)
+    val (cand, keyed) = edgeCandidatesSelfKeyed(names, cfg)
     val edges = scoreCandidates(cand, cfg).persist()
     val nameClusters = cluster(edges, names.select("id"), cfg)
     val clusters = mentionComponents(norm, names, edges, nameClusters)
@@ -465,6 +475,7 @@ object Pipeline {
       else projected.localCheckpoint()
     norm.unpersist()
     names.unpersist()
+    keyed.unpersist()
     edges.unpersist()
     out
   }

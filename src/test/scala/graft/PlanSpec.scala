@@ -56,6 +56,28 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("match_score")) == 1)
   }
 
+  test("fused edge path: prefilter below the pair dedup, hydration above it") {
+    val m = Pipeline.extractMentions(PagesGen.generate(spark, 50, 4))
+      .select(col("mention_id").as("id"), col("name"))
+    val p = plan(Pipeline.edgeCandidatesSelf(Pipeline.normalize(m)))
+    val lines = p.linesIterator.toVector
+    // the cheap gate runs INSIDE the blocking-join tiers: every
+    // prefilter site sits BELOW the pair-dedup aggregate, so rejected
+    // pairs (99% at web density) never enter the dedup exchange
+    val dedupIdx = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("id_a"))
+    val gateIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("prefilter_pass") => i }
+    assert(dedupIdx >= 0, "pair-dedup aggregate not found:\n" + p.take(600))
+    assert(gateIdxs.nonEmpty && gateIdxs.forall(_ > dedupIdx),
+      s"prefilter not fused below the dedup (dedup@$dedupIdx, gates@$gateIdxs)")
+    // name hydration stays broadcast and ABOVE the dedup
+    val bcastIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("BroadcastHashJoin") => i }
+    assert(bcastIdxs.count(_ < dedupIdx) >= 2,
+      s"hydration joins not above the dedup (dedup@$dedupIdx, bcast@$bcastIdxs)")
+  }
+
   test("parquet scans push filters and prune columns") {
     val q15 = SparkEntry.queries("q15_ann_range")(spark, "/root/testdata/sf0.001")
     assert(plan(q15).contains("PushedFilters: [In(vec_id"), plan(q15).take(800))

@@ -30,6 +30,22 @@ class TwoSidedSpec extends SparkSuite {
     assert(hit.size == nEnt, s"entities with own-base candidate: ${hit.size}/$nEnt")
   }
 
+  test("fused two-sided candidates ≡ unfused ∘ prefilter") {
+    val mentions = Pipeline.extractMentions(PagesGen.generate(spark, nEnt, 4))
+    val main = Pipeline.normalize(
+      mentions.select(col("mention_id").as("id"), col("name")))
+    val base = Pipeline.normalize(PagesGen.baseUniverse(spark, nEnt))
+    val cfg = Pipeline.Config()
+    val fused = Pipeline.edgeCandidatesTwoSided(main, base, cfg)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unfused = Pipeline.candidatesTwoSided(main, base, cfg)
+      .where(graft.expr.functions.prefilter_pass(
+        col("nos_a"), col("nos_b"), cfg.cutoff))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fused == unfused,
+      s"fused-only=${(fused -- unfused).take(5)} unfused-only=${(unfused -- fused).take(5)}")
+  }
+
   test("er_match emits the matcher.py 5-col contract with correct matches") {
     val out = SparkEntry.queries("er_match")(spark, "/root/testdata/sf0.001")
     assert(out.columns.toSeq ==
