@@ -299,37 +299,65 @@ object Pipeline {
   }
 
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —
-    * census on the BASE side (the universe is where stop-word-like
-    * blocks form). Hot base blocks are salted: the base row carries
-    * salt = hash(id) mod nsalt, the main row is replicated to every
-    * salt — per-task work ≤ maxBlockSize base rows × matching main
-    * rows. Runaway base blocks (> runawayBlockSize) are dropped. */
+    * census on BOTH sides (at web scale the MAIN side is the huge
+    * mention table, so main-hot keys are the norm, not the exception;
+    * a base-only census would land a hot main key's whole
+    * |main_k|×|base_k| product in one task).
+    *
+    * Tiers per key:
+    *  - both sides ≤ maxBlockSize: plain SHUFFLE_HASH join;
+    *  - either side hot (and base ≤ runawayBlockSize): 2-D GRID SALT —
+    *    main rows carry salt_m = hash(id_a) mod nm and are replicated
+    *    to every salt_b; base rows carry salt_b = hash(id_b) mod nb
+    *    and are replicated to every salt_m; the join runs on
+    *    (key, salt_m, salt_b), so each pair meets exactly once at
+    *    (salt_m(a), salt_b(b)) and per-task work is bounded by
+    *    maxBlockSize² regardless of EITHER side's block size.
+    *    Replication cost is main×nb + base×nm rows — linear in each
+    *    side, never quadratic;
+    *  - base > runawayBlockSize: dropped, counted, logged (a universe
+    *    block that big is a stop-word-like artifact; the main side has
+    *    no runaway bound — big main keys are real data). */
   def candidatePairsTwoSided(keyedM0: DataFrame, keyedB0: DataFrame,
       cfg: Config = Config(), cacheKeyed: Boolean = true,
       earlyFilter: Boolean = false): DataFrame = {
     // see candidatePairsSelf: the keyed sides are multiply consumed
-    // (base: census ×2 + small join + hot join; main: small + hot) and
-    // every uncached scan re-runs the blocking_keys explode
+    // (census + small join + hot join on each side) and every uncached
+    // scan re-runs the blocking_keys explode
     val keyedM = if (cacheKeyed) keyedM0.persist() else keyedM0
     val keyedB = if (cacheKeyed) keyedB0.persist() else keyedB0
-    val sizes = keyedB.groupBy("key").agg(count(lit(1)).as("block_size"))
-    val oversize = sizes.where(col("block_size") > cfg.maxBlockSize).select("key")
+    val cap = cfg.maxBlockSize
+    val sizesB = keyedB.groupBy("key").agg(count(lit(1)).as("bs_b"))
+    val sizesM = keyedM.groupBy("key").agg(count(lit(1)).as("bs_m"))
+    // (key, nm, nb) for keys needing the grid; keys with a runaway
+    // base block are excluded here AND from the small tier → dropped
+    val grid = sizesB.join(sizesM, Seq("key"))
+      .where(col("bs_b") <= cfg.runawayBlockSize &&
+        (col("bs_b") > cap || col("bs_m") > cap))
+      .select(col("key"),
+        ceil(col("bs_m").cast("double") / cap).cast("long").as("nm"),
+        ceil(col("bs_b").cast("double") / cap).cast("long").as("nb"))
+    val oversize = sizesB.where(col("bs_b") > cap).select("key")
+      .unionByName(sizesM.where(col("bs_m") > cap).select("key")).distinct()
     def gated(pairs: DataFrame): DataFrame =
       if (earlyFilter)
         pairs.where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
       else pairs
     val smallPairs = gated(keyedM
-      .join(keyedB.join(broadcast(oversize), Seq("key"), "left_anti").hint("SHUFFLE_HASH"),
-        Seq("key")))
+      .join(broadcast(oversize), Seq("key"), "left_anti")
+      .join(keyedB.join(broadcast(oversize), Seq("key"), "left_anti")
+        .hint("SHUFFLE_HASH"), Seq("key")))
       .select("id_a", "id_b")
-    val salts = saltPlan(sizes, cfg)
-    val hotB = keyedB.join(broadcast(salts), Seq("key"))
-      .select(keyedB.columns.filter(_ != "key").map(col) ++ Seq(col("key"),
-        pmod(xxhash64(col("id_b")), col("nsalt")).as("salt")): _*)
-    val hotM = keyedM.join(broadcast(salts), Seq("key"))
+    val hotM = keyedM.join(broadcast(grid), Seq("key"))
       .select(keyedM.columns.filter(_ != "key").map(col) ++ Seq(col("key"),
-        explode(sequence(lit(0L), col("nsalt") - 1)).as("salt")): _*)
-    val hotPairs = gated(hotM.join(hotB.hint("SHUFFLE_HASH"), Seq("key", "salt")))
+        pmod(xxhash64(col("id_a")), col("nm")).as("salt_m"),
+        explode(sequence(lit(0L), col("nb") - 1)).as("salt_b")): _*)
+    val hotB = keyedB.join(broadcast(grid), Seq("key"))
+      .select(keyedB.columns.filter(_ != "key").map(col) ++ Seq(col("key"),
+        explode(sequence(lit(0L), col("nm") - 1)).as("salt_m"),
+        pmod(xxhash64(col("id_b")), col("nb")).as("salt_b")): _*)
+    val hotPairs = gated(hotM.join(hotB.hint("SHUFFLE_HASH"),
+        Seq("key", "salt_m", "salt_b")))
       .select("id_a", "id_b")
       .observe("graft_salted_pairs_2s", count(lit(1)).as("pairs_salted"))
     smallPairs.unionByName(hotPairs).distinct()

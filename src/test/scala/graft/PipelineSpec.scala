@@ -214,6 +214,28 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     val want2 = (for (a <- 1L to 4L; b <- 101L to 130L) yield (a, b)).toSet
     assert(got2 == want2, s"two-sided salting lost ${(want2 -- got2).size} pairs")
+    // two-sided grid: MAIN-hot (25 > cap) × small base, MAIN-hot ×
+    // BASE-hot (both > cap), and a runaway base (60 > 50, dropped even
+    // against a hot main). At web scale main is the huge side, so the
+    // main-hot cases are the norm — the 2-D grid must bound every cell
+    // without losing a pair.
+    val keyedM2 = (
+      (1L to 25L).map(i => (i, "mhot")) ++
+      (31L to 55L).map(i => (i, "bothhot")) ++
+      (61L to 85L).map(i => (i, "brun"))
+    ).toDF("id_a", "key").select($"key", $"id_a")
+    val keyedB2 = (
+      (101L to 104L).map(i => (i, "mhot")) ++
+      (111L to 140L).map(i => (i, "bothhot")) ++
+      (201L to 260L).map(i => (i, "brun"))
+    ).toDF("id_b", "key").select($"key", $"id_b")
+    val got3 = Pipeline.candidatePairsTwoSided(keyedM2, keyedB2, cfg)
+      .as[(Long, Long)].collect().toSet
+    val want3 =
+      (for (a <- 1L to 25L; b <- 101L to 104L) yield (a, b)).toSet ++
+      (for (a <- 31L to 55L; b <- 111L to 140L) yield (a, b)).toSet
+    assert(got3 == want3,
+      s"grid salting wrong: lost=${(want3 -- got3).take(5)} extra=${(got3 -- want3).take(5)}")
   }
 
   test("hub pruning drops only hub-incident edges; chains survive") {
