@@ -115,13 +115,13 @@ object Pipeline {
     *
     * Three key tiers (census is in-plan, no driver action):
     *  - block_size ≤ maxBlockSize: plain SHUFFLE_HASH self-join on key;
-    *  - maxBlockSize < block_size ≤ runawayBlockSize: SALTED — the
-    *    left side gets salt = hash(id) mod nsalt, the right side is
-    *    replicated to every salt, and the join runs on (key, salt):
-    *    every pair of the hot block is still produced exactly once
-    *    (the reference scores every pair, matcher.py:381-396), but the
-    *    per-task work is bounded by maxBlockSize × block_size instead
-    *    of block_size² — the "top-key splitting" of the north rule;
+    *  - maxBlockSize < block_size ≤ runawayBlockSize: 2-D GRID SALT —
+    *    each side is salted by its own hash and replicated across the
+    *    other axis; the join runs on (key, salt_m, salt_b): every pair
+    *    of the hot block is still produced exactly once (the reference
+    *    scores every pair, matcher.py:381-396), with per-task work
+    *    bounded by maxBlockSize² regardless of block size — the
+    *    "top-key splitting" of the north rule;
     *  - block_size > runawayBlockSize: dropped, counted, logged.
     *
     * With `earlyFilter` the keyed table must also carry `nosuffix` and
@@ -168,14 +168,24 @@ object Pipeline {
     val smallPairs = sideA(small).join(sideB(small).hint("SHUFFLE_HASH"), Seq("key"))
       .where(keep)
       .select("id_a", "id_b")
-    // salted tier: each unordered pair {x,y} of a hot block appears
-    // exactly once — x carries one salt, y is replicated to all salts,
-    // so (x,y) meets at salt(x) and the id_a < id_b filter keeps one
-    // direction
+    // salted tier — 2-D grid: the A side carries salt_m = hash(id) mod
+    // n and is replicated across every salt_b; the B side carries
+    // salt_b and is replicated across every salt_m. An unordered pair
+    // {x,y} appears as (x,y) at cell (salt_m(x), salt_b(y)) and as
+    // (y,x) at (salt_m(y), salt_b(x)); the id_a < id_b filter keeps
+    // exactly one. Per-task work is bounded by maxBlockSize² — the 1-D
+    // scheme's cap × block_size cells (up to 800k pairs at the runaway
+    // bound) were measured as multi-second stragglers on dense
+    // family blocks.
     val hotKeyed = keyed.join(broadcast(saltPlan(sizes, cfg)), Seq("key"))
-    val hotA = sideA(hotKeyed, pmod(xxhash64(col("id")), col("nsalt")).as("salt"))
-    val hotB = sideB(hotKeyed, explode(sequence(lit(0L), col("nsalt") - 1)).as("salt"))
-    val hotPairs = hotA.join(hotB.hint("SHUFFLE_HASH"), Seq("key", "salt"))
+    val hotA = sideA(hotKeyed,
+      pmod(xxhash64(col("id")), col("nsalt")).as("salt_m"),
+      explode(sequence(lit(0L), col("nsalt") - 1)).as("salt_b"))
+    val hotB = sideB(hotKeyed,
+      explode(sequence(lit(0L), col("nsalt") - 1)).as("salt_m"),
+      pmod(xxhash64(col("id")), col("nsalt")).as("salt_b"))
+    val hotPairs = hotA.join(hotB.hint("SHUFFLE_HASH"),
+        Seq("key", "salt_m", "salt_b"))
       .where(keep)
       .select("id_a", "id_b")
       .observe("graft_salted_pairs", count(lit(1)).as("pairs_salted"))
