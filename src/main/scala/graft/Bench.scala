@@ -40,16 +40,18 @@ object Bench {
   }
 
   /** Deterministic heavy pair-scoring workload: mentions bucketed so
-    * every bucket cross-pairs — ~63M candidate rows (36k names / 6
-    * buckets). Sized so the fastest (32-core) timed run still takes
-    * >10s: with the previous 28M-pair table the 32-core run finished
-    * in ~6s and fixed job overheads ate ~20% of it, under-reporting
-    * high-core throughput. */
+    * every bucket cross-pairs — ~38M candidate rows (36k names / 10
+    * buckets). Sized so the FAST (16-core) timed run still takes >10s
+    * (28M finished in ~6s at 32 cores and fixed job overheads ate
+    * ~20%, under-reporting high-core throughput) while the SLOW
+    * (4-core) run stays ~45s — three (N,4N) pairs plus the headline
+    * queries must fit the driver's bench budget (the 63M table put a
+    * full run at 435–503s, within one VM hiccup of a 560s timeout). */
   private def scoringWorkload(spark: SparkSession, dir: String): DataFrame = {
     val pages = PagesGen.generate(spark, nEntities = 9000, mentionsPerEntity = 4)
     val m = Pipeline.extractMentions(pages)
     val n = Pipeline.normalize(m.select(col("mention_id").as("id"), col("name")))
-    val buckets = 6
+    val buckets = 10
     val a = n.select((col("id") % buckets).as("b"), col("id").as("id_a"),
       col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
     val bb = n.select((col("id") % buckets).as("b"), col("id").as("id_b"),
@@ -131,10 +133,12 @@ object Bench {
     val ratios = new scala.collection.mutable.ArrayBuffer[Double]
     var tputSmall = 0.0
     var tputBig = 0.0
-    // deadline guard: an (N,4N) pair costs ~110s; stop adding pairs
-    // when the driver's bench budget would be at risk (1 pair minimum)
+    // deadline guard: an (N,4N) pair costs ~67s; stop adding pairs
+    // when the driver's bench budget would be at risk (1 pair minimum;
+    // the 3rd pair only fits when the pair table pre-existed and the
+    // VM is fast)
     def elapsed = (System.nanoTime() - t0Main) / 1e9
-    for (i <- 1 to 3 if i == 1 || elapsed < 250.0) {
+    for (i <- 1 to 3 if i == 1 || elapsed < 180.0) {
       Thread.sleep(10000) // cool-down
       val ts = timeScoring(nSmall, candPath)
       val tb = timeScoring(nBig, candPath)
@@ -166,7 +170,7 @@ object Bench {
     // AFTER the headline queries depressed the recorded ratio by
     // ~0.1-0.2 versus the identical protocol on an idle box. The pairs
     // need no warm session, so they go first.
-    val candPath = "/tmp/graft_bench_pairs_v2"
+    val candPath = "/tmp/graft_bench_pairs_v3"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(candPath))) {
       val s0 = session(cpus)
       try scoringWorkload(s0, sfDir).repartition(128)
@@ -179,7 +183,7 @@ object Bench {
       }
     }
     runScalingPairs(candPath, results, t0Main)
-    Thread.sleep(45000) // decouple: let the scaling load's throttle decay
+    Thread.sleep(30000) // decouple: let the scaling load's throttle decay
 
     // part B: headline queries
     // cheap relational queries first: they absorb JIT/codegen warmup
@@ -218,7 +222,7 @@ object Bench {
     val total = results.filterNot(kv =>
       kv._1.startsWith("pairs_per") || kv._1.startsWith("scaling")).values.sum
     val protocol = "two-cluster-size proxy (no real cluster in sandbox): " +
-      s"pair-scoring stage over an identical 63M-pair parquet table in fresh JVMs " +
+      s"pair-scoring stage over an identical 38M-pair parquet table in fresh JVMs " +
       s"pinned to N cores (taskset 0..N-1, ActiveProcessorCount=N, ParallelGC), " +
       s"N=4 vs 4N=16 - both levels inside the single box's unshared-resource " +
       "envelope (at 32 cores the box's own memory-bandwidth/throttle ceiling binds: " +
