@@ -188,12 +188,16 @@ object Bench {
     // part B: headline queries
     // cheap relational queries first: they absorb JIT/codegen warmup
     // the way a long-running cluster service would already have
-    val headline = Seq("q1_pricing", "q2_order_counts", "q3_window_latest",
+    // the three heavy ER queries run FIRST (the coolest point after
+    // the decouple sleep — sub-second queries don't care about the
+    // throttle tax, 30-50s ones do); the cascade warmup slot below
+    // pre-JITs their scoring path
+    val headline = Seq("er_edges", "er_clusters", "er_match",
+      "q1_pricing", "q2_order_counts", "q3_window_latest",
       "q4_events_hourly", "q6_dedup_exact", "q8_char_jaccard",
       "q13_token_df", "q14_lang_quality", "q15_ann_range", "q16_ann_topk",
       "q18_cc_copurchase", "q20_media_features", "q10_dedup_simhash",
-      "q11_cosine_dedup", "q9_dedup_minhash", "q23_tfidf_cosine",
-      "er_edges", "er_clusters", "er_match")
+      "q11_cosine_dedup", "q9_dedup_minhash", "q23_tfidf_cosine")
     val s1 = session(cpus)
     try {
       // untimed warmup: absorb JIT/codegen/classloader/file-index
@@ -201,7 +205,10 @@ object Bench {
       // artifact: q1 read 5.0s purely from running first; a
       // long-running cluster service is warm). One cheap relational
       // query + one ANN shape covers the two codegen families.
-      for (w <- Seq("q1_pricing", "q16_ann_topk")) {
+      // q1: relational codegen family; q16: ANN expression family;
+      // er_pair_mode: normalize + prefilter + cascade codegen (without
+      // it the first er_* slot absorbs the cascade JIT)
+      for (w <- Seq("q1_pricing", "q16_ann_topk", "er_pair_mode")) {
         try SparkEntry.queries(w)(s1, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $w: $e") }
       }
