@@ -62,7 +62,10 @@ object MediaOps {
     var acc = 1469598103934665603L
     var i = 0
     while (i < out.length) {
-      acc = (acc ^ payload(i % math.max(1, payload.length))) * 1099511628211L
+      // empty payloads (a 0-byte media blob) hash the index instead —
+      // payload(0) on an empty array would throw on the executor
+      val b = if (payload.length == 0) i.toByte else payload(i % payload.length)
+      acc = (acc ^ b) * 1099511628211L
       out(i) = (TextOps.mix64(acc + w * 31 + h) & 0xff).toByte
       i += 1
     }

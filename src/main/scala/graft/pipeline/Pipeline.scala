@@ -94,9 +94,18 @@ object Pipeline {
   def withBlockingKeys(norm: DataFrame): DataFrame =
     norm.withColumn("key", explode(gf.blocking_keys(col("pre_proc"))))
 
-  /** Hot-key census: key → row count (for cap + skew logging). */
+  /** Hot-key census: key → row count (for cap + skew logging). When
+    * the keyed table carries a `w` column (name-level scoring: w =
+    * mentions per name node), the census SUMS it — block sizes are
+    * then mention-weighted, so cap/runaway decisions are IDENTICAL to
+    * mention-level scoring in every regime (without this, a key with
+    * >runaway mentions but ≤runaway distinct names would be dropped by
+    * the mention-level path and kept by the name-level path, breaking
+    * the bit-identity contract exactly at the boundary). */
   def blockSizes(keyed: DataFrame): DataFrame =
-    keyed.groupBy("key").agg(count(lit(1)).as("block_size"))
+    if (keyed.columns.contains("w"))
+      keyed.groupBy("key").agg(sum(col("w")).as("block_size"))
+    else keyed.groupBy("key").agg(count(lit(1)).as("block_size"))
 
   /** Hot-key census with the per-key salt count: keys in
     * (maxBlockSize, runawayBlockSize] are salted into
@@ -207,6 +216,10 @@ object Pipeline {
     * times (census, join sides, the two attachNames probes) — without
     * the persist the normalize subtree re-executes per consumer. */
   def candidatesSelf(norm: DataFrame, cfg: Config = Config()): DataFrame = {
+    // census-facing one-shot entry (er_candidates, recall proofs): the
+    // keyed persist below has no unpersist hook here — repeated
+    // same-session callers should use edgeCandidatesSelfKeyed and
+    // release the handle themselves
     norm.persist()
     val keyed = withBlockingKeys(norm)
       .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
@@ -238,8 +251,10 @@ object Pipeline {
   def edgeCandidatesSelfKeyed(norm: DataFrame,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
     norm.persist()
+    val cols = Seq(col("id"), col("key"), col("nosuffix")) ++
+      (if (norm.columns.contains("w")) Seq(col("w")) else Nil)
     val keyed = withBlockingKeys(norm)
-      .select(col("id"), col("key"), col("nosuffix"))
+      .select(cols: _*)
       .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
       .persist()
     (attachNames(candidatePairsSelf(keyed, cfg, cacheKeyed = false,
@@ -300,12 +315,29 @@ object Pipeline {
   def edgeCandidatesTwoSided(main: DataFrame, base: DataFrame,
       cfg: Config = Config(), cacheInputs: Boolean = true): DataFrame = {
     if (cacheInputs) { main.persist(); base.persist() }
+    edgeCandidatesTwoSidedKeyed(main, base, baseKeyed(base), cfg,
+      cacheKeyed = cacheInputs)
+  }
+
+  /** The base side's exploded keyed table (key, id_b, nos_b) — exposed
+    * so a repeated caller against a FIXED universe (streaming
+    * micro-batches) can compute + persist it ONCE for the query's
+    * lifetime instead of re-running the key explode (double-metaphone
+    * + minhash per row, "the expensive part") several times per
+    * batch. */
+  def baseKeyed(base: DataFrame): DataFrame =
+    withBlockingKeys(base)
+      .select(col("key"), col("id").as("id_b"), col("nosuffix").as("nos_b"))
+
+  /** [[edgeCandidatesTwoSided]] over a caller-supplied (possibly
+    * pre-persisted) base keyed table from [[baseKeyed]]. */
+  def edgeCandidatesTwoSidedKeyed(main: DataFrame, base: DataFrame,
+      keyedB: DataFrame, cfg: Config = Config(),
+      cacheKeyed: Boolean = false): DataFrame = {
     val keyedM = withBlockingKeys(main)
       .select(col("key"), col("id").as("id_a"), col("nosuffix").as("nos_a"))
-    val keyedB = withBlockingKeys(base)
-      .select(col("key"), col("id").as("id_b"), col("nosuffix").as("nos_b"))
     attachNames2(candidatePairsTwoSided(keyedM, keyedB, cfg,
-      cacheKeyed = cacheInputs, earlyFilter = true), main, base)
+      cacheKeyed = cacheKeyed, earlyFilter = true), main, base)
   }
 
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —
@@ -438,7 +470,9 @@ object Pipeline {
     norm.groupBy("pre_proc")
       .agg(min(col("id")).as("id"),
         // nosuffix is a pure function of pre_proc — any row's value
-        first(col("nosuffix")).as("nosuffix"))
+        first(col("nosuffix")).as("nosuffix"),
+        // mention count: weights the blocking census (see blockSizes)
+        count(lit(1)).as("w"))
 
   /** Name-node components → per-mention components, bit-identically
     * to mention-level scoring.

@@ -69,7 +69,8 @@ object StreamingPipeline {
     * matchBatch is exposed separately so tests can assert the per-batch
     * semantics ≡ the batch pipeline on the same input. */
   def matchBatch(batch: DataFrame, baseNorm: DataFrame): DataFrame =
-    matchNormalized(graft.pipeline.Pipeline.normalize(batchMentions(batch)), baseNorm)
+    matchNormalized(graft.pipeline.Pipeline.normalize(batchMentions(batch)),
+      baseNorm, graft.pipeline.Pipeline.baseKeyed(baseNorm))
 
   /** batch pages → (id, name) mention rows (id = stable hash of the
     * url + extracted line, deterministic under batch replay). */
@@ -80,18 +81,23 @@ object StreamingPipeline {
       .select(xxhash64(col("url"), col("line")).as("id"),
         expr("substring(line, 10)").as("name"))
 
-  private def matchNormalized(main: DataFrame, baseNorm: DataFrame): DataFrame =
+  private def matchNormalized(main: DataFrame, baseNorm: DataFrame,
+      keyedB: DataFrame): DataFrame =
     graft.pipeline.Pipeline.scoreCandidates(
-        graft.pipeline.Pipeline.edgeCandidatesTwoSided(main, baseNorm, cacheInputs = false))
+        graft.pipeline.Pipeline.edgeCandidatesTwoSidedKeyed(main, baseNorm, keyedB))
       .select("id_a", "id_b", "code", "score")
 
   def incrementalEdges(spark: SparkSession, pagesDir: String,
       baseNorm: DataFrame, edgesDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // one long-lived cache entry for the fixed universe, owned by this
-    // query's lifetime — NOT per-batch (a per-batch persist with no
-    // unpersist would grow the shared CacheManager unboundedly)
+    // two long-lived cache entries for the fixed universe, owned by
+    // this query's lifetime — NOT per-batch (a per-batch persist with
+    // no unpersist would grow the shared CacheManager unboundedly).
+    // The keyed explode (double-metaphone + minhash per base row) is
+    // the expensive part: without its own persist it re-executes for
+    // the census and both join tiers on EVERY micro-batch.
     baseNorm.persist()
+    val keyedB = graft.pipeline.Pipeline.baseKeyed(baseNorm).persist()
     spark.readStream
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
       .parquet(pagesDir)
@@ -104,7 +110,7 @@ object StreamingPipeline {
         // for the batch, release in finally — the cache must not
         // accumulate an entry per micro-batch
         val main = graft.pipeline.Pipeline.normalize(batchMentions(batch)).persist()
-        try matchNormalized(main, baseNorm)
+        try matchNormalized(main, baseNorm, keyedB)
           .write.mode("overwrite").parquet(s"$edgesDir/batch=$batchId")
         finally main.unpersist()
         ()

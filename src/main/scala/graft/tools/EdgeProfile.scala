@@ -36,7 +36,7 @@ object EdgeProfile {
     t("pairs+distinct")(println("  rows=" + pairs.count()))
     val cand = Pipeline.attachNames(pairs, norm).persist()
     t("attach")(println("  rows=" + cand.count()))
-    val pre = cand.where(gf.prefilter_pass(col("nos_a"), col("nos_b"), 87)).persist()
+    val pre = cand.where(gf.prefilter_pass(col("nos_a"), col("nos_b"), Pipeline.Config().cutoff)).persist()
     t("prefilter")(println("  rows=" + pre.count()))
     val scored = pre.withColumn("code",
       gf.opt_barrier(gf.match_score(col("pre_a"), col("pre_b"))))

@@ -129,6 +129,23 @@ class PipelineSpec extends SparkSuite {
     // and the self-rejecting duplicated names really stay singletons
     val hcomp = g.filter(_._2.startsWith("https://dup.test/h")).map(_._3)
     assert(hcomp.size == 3, s"holdings mentions merged: $hcomp")
+    // AT THE RUNAWAY BOUNDARY: with every name duplicated (w = 2), a
+    // key can hold > runaway MENTIONS but ≤ runaway NAMES. The
+    // mention-weighted census (nameNodes.w → blockSizes sum) must make
+    // the name-level path drop exactly what mention-level drops —
+    // without the weighting this diverges precisely here.
+    val tiny = Pipeline.Config(maxBlockSize = 5, runawayBlockSize = 12)
+    val gotT = Pipeline.endToEnd(dup, tiny)
+      .select($"mention_id", $"url", $"component")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val edgesT = Pipeline.scoreCandidates(Pipeline.edgeCandidatesSelf(norm, tiny), tiny)
+    val clustersT = Pipeline.cluster(edgesT, norm.select("id"), tiny)
+    val wantT = mentions.join(clustersT, mentions("mention_id") === clustersT("id"))
+      .where(!graft.expr.functions.is_person($"name"))
+      .select(mentions("mention_id"), $"url", $"component")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotT == wantT, s"boundary divergence: " +
+      s"only-name-level=${(gotT -- wantT).take(5)} only-mention-level=${(wantT -- gotT).take(5)}")
     norm.unpersist()
   }
 
