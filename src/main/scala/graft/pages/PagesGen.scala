@@ -162,10 +162,11 @@ object PagesGen {
     * per entity, formal legal form. Ids are the small entity indices,
     * disjoint from the xxhash64 mention-id space the two-sided matcher
     * joins against. */
-  def baseUniverse(spark: SparkSession, nEntities: Long): DataFrame = {
+  def baseUniverse(spark: SparkSession, nEntities: Long,
+      coined: Boolean = false): DataFrame = {
     import spark.implicits._
     spark.range(0, nEntities, 1, 8)
-      .map(e => (e, entityBaseName(e) + " Inc."))
+      .map(e => (e, (if (coined) coinedBaseName(e) else entityBaseName(e)) + " Inc."))
       .toDF("id", "name")
   }
 }
