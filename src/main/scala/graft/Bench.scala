@@ -40,18 +40,19 @@ object Bench {
   }
 
   /** Deterministic heavy pair-scoring workload: mentions bucketed so
-    * every bucket cross-pairs — ~38M candidate rows (36k names / 10
+    * every bucket cross-pairs — ~63M candidate rows (36k names / 6
     * buckets). Sized so the FAST (16-core) timed run still takes >10s
-    * (28M finished in ~6s at 32 cores and fixed job overheads ate
-    * ~20%, under-reporting high-core throughput) while the SLOW
-    * (4-core) run stays ~45s — three (N,4N) pairs plus the headline
-    * queries must fit the driver's bench budget (the 63M table put a
-    * full run at 435–503s, within one VM hiccup of a 560s timeout). */
+    * (fixed job overheads ate ~20% of a ~6s run, under-reporting
+    * high-core throughput) while the SLOW (4-core) run stays ~40s,
+    * so three (N,4N) pairs plus the headline queries fit the driver's
+    * bench budget. Re-sized after the bit-parallel LCS landed (~1.9×
+    * kernel speedup made the previous 38M table finish in ~6s at 16
+    * cores). */
   private def scoringWorkload(spark: SparkSession, dir: String): DataFrame = {
     val pages = PagesGen.generate(spark, nEntities = 9000, mentionsPerEntity = 4)
     val m = Pipeline.extractMentions(pages)
     val n = Pipeline.normalize(m.select(col("mention_id").as("id"), col("name")))
-    val buckets = 10
+    val buckets = 6
     val a = n.select((col("id") % buckets).as("b"), col("id").as("id_a"),
       col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
     val bb = n.select((col("id") % buckets).as("b"), col("id").as("id_b"),
@@ -170,7 +171,7 @@ object Bench {
     // AFTER the headline queries depressed the recorded ratio by
     // ~0.1-0.2 versus the identical protocol on an idle box. The pairs
     // need no warm session, so they go first.
-    val candPath = "/tmp/graft_bench_pairs_v3"
+    val candPath = "/tmp/graft_bench_pairs_v4"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(candPath))) {
       val s0 = session(cpus)
       try scoringWorkload(s0, sfDir).repartition(128)
@@ -229,7 +230,7 @@ object Bench {
     val total = results.filterNot(kv =>
       kv._1.startsWith("pairs_per") || kv._1.startsWith("scaling")).values.sum
     val protocol = "two-cluster-size proxy (no real cluster in sandbox): " +
-      s"pair-scoring stage over an identical 38M-pair parquet table in fresh JVMs " +
+      s"pair-scoring stage over an identical 63M-pair parquet table in fresh JVMs " +
       s"pinned to N cores (taskset 0..N-1, ActiveProcessorCount=N, ParallelGC), " +
       s"N=4 vs 4N=16 - both levels inside the single box's unshared-resource " +
       "envelope (at 32 cores the box's own memory-bandwidth/throttle ceiling binds: " +

@@ -29,11 +29,59 @@ object Fuzz extends Serializable {
     b
   }
 
-  /** Indel distance = |s1| + |s2| − 2·LCS over chars. */
+  private val pmBuf = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+
+  /** Indel distance = |s1| + |s2| − 2·LCS over chars.
+    *
+    * Hot path: normalized names are short lowercase-ASCII strings, so
+    * the LCS runs bit-parallel (CIPR bit-vector LCS: one `(V + t) |
+    * (V − t)` word op per s2 char instead of an O(n·m) DP row sweep —
+    * ~n× fewer operations for n ≤ 64). Values are EXACT (same LCS),
+    * verified against the DP in FuzzSpec and by the 1180/1023 golden
+    * suites; non-ASCII or >64-char inputs fall back to the DP. */
   def indelDistance(s1: CharSequence, s2: CharSequence): Int = {
     val n = s1.length
     val m = s2.length
     if (n == 0 || m == 0) return n + m
+    if (n <= 64) {
+      val pm = pmBuf.get()
+      var ascii = true
+      var i = 0
+      while (i < n && ascii) {
+        val c = s1.charAt(i)
+        if (c >= 128) ascii = false else pm(c) |= 1L << i
+        i += 1
+      }
+      if (ascii) {
+        // low n bits of V evolve exactly as an n-bit machine (carries/
+        // borrows into bits ≥ n never feed back down); mask at the end
+        var v = -1L
+        var j = 0
+        while (j < m) {
+          val c = s2.charAt(j)
+          val t = (if (c < 128) pm(c) else 0L) & v
+          v = (v + t) | (v - t)
+          j += 1
+        }
+        // clear only the touched pm entries
+        i = 0
+        while (i < n) { val c = s1.charAt(i); if (c < 128) pm(c) = 0L; i += 1 }
+        val mask = if (n == 64) -1L else (1L << n) - 1
+        val lcs = n - java.lang.Long.bitCount(v & mask)
+        return n + m - 2 * lcs
+      }
+      // undo partial pm fill before falling back
+      var k = 0
+      while (k < i) { val c = s1.charAt(k); if (c < 128) pm(c) = 0L; k += 1 }
+    }
+    indelDistanceDp(s1, s2)
+  }
+
+  private[graft] def indelDistanceDp(s1: CharSequence, s2: CharSequence): Int = {
+    val n = s1.length
+    val m = s2.length
     val dp = dpRow(m + 1)
     var i = 0
     while (i < n) {

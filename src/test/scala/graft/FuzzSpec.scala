@@ -75,4 +75,25 @@ class FuzzSpec extends AnyFunSuite {
     assert(Fuzz.tokenSortRatio("ab cd ef", "ef cd ab") == 100.0)
     assert(Fuzz.tokenSetRatio("general electric inc", "general electric") == 100.0)
   }
+
+  test("bit-parallel indel distance ≡ DP (random, incl. 64-char boundary and non-ascii)") {
+    val rnd = new scala.util.Random(7)
+    def str(len: Int): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 until len)
+        sb += (if (rnd.nextInt(50) == 0) 'é' else ('a' + rnd.nextInt(6)).toChar)
+      sb.toString
+    }
+    for (_ <- 0 until 5000) {
+      val a = str(rnd.nextInt(70)) // crosses the 64-bit word boundary
+      val b = str(rnd.nextInt(70))
+      assert(graft.score.Fuzz.indelDistance(a, b) ==
+        graft.score.Fuzz.indelDistanceDp(a, b), s"<$a> <$b>")
+    }
+    // exact boundary: n = 64 uses the full-word mask
+    val a64 = "ab" * 32
+    assert(graft.score.Fuzz.indelDistance(a64, a64) == 0)
+    assert(graft.score.Fuzz.indelDistance(a64, "ba" * 32) ==
+      graft.score.Fuzz.indelDistanceDp(a64, "ba" * 32))
+  }
 }
