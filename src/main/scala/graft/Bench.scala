@@ -14,9 +14,10 @@ import graft.pipeline.Pipeline
   *     SPARK_GRAFT_CPUS (per-query seconds);
   *  2. the north-rule two-cluster-size proxy: the pair-scoring stage
   *     (match_pair.py mode — prefilter + full cascade over a fixed,
-  *     deterministic candidate table) timed at local[8] and local[32]
-  *     on the SAME input; reported as pairs_per_sec_c8 /
-  *     pairs_per_sec_c32 / scaling_efficiency = t32/(4·t8).
+  *     deterministic candidate table) in pinned fresh JVMs at N=2 and
+  *     4N=8 cores on the SAME input; reported as pairs_per_sec_c2 /
+  *     pairs_per_sec_c8 / scaling_efficiency = median of adjacent
+  *     tput8/(4·tput2) pairs. Runs FIRST, on the coolest VM state.
   */
 object Bench {
 
