@@ -10,14 +10,38 @@ import graft.pipeline.Pipeline
   *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   *
   * Two parts:
-  *  1. headline queries from SparkEntry at SPARK_GRAFT_SF_DIR /
-  *     SPARK_GRAFT_CPUS (per-query seconds);
-  *  2. the north-rule two-cluster-size proxy: the pair-scoring stage
+  *  1. the north-rule two-cluster-size proxy: the pair-scoring stage
   *     (match_pair.py mode — prefilter + full cascade over a fixed,
   *     deterministic candidate table) in pinned fresh JVMs at N=2 and
   *     4N=8 cores on the SAME input; reported as pairs_per_sec_c2 /
-  *     pairs_per_sec_c8 / scaling_efficiency = median of adjacent
-  *     tput8/(4·tput2) pairs. Runs FIRST, on the coolest VM state.
+  *     pairs_per_sec_c8 / scaling_efficiency, all three from the
+  *     MEDIAN adjacent (N,4N) pair. Runs first, gated on a measured
+  *     cool VM (see [[coolWait]]);
+  *  2. headline queries from SparkEntry at SPARK_GRAFT_SF_DIR /
+  *     SPARK_GRAFT_CPUS (per-query seconds) — cheap relational
+  *     queries first, the three heavy er_* queries last.
+  *
+  * Round-4 measurement-hygiene changes (BENCH_r03 recorded the gate
+  * at 0.778 < 0.8 while the identical protocol on a cool box read
+  * 0.89–0.94; VERDICT r3 tasks 1/2/4):
+  *  - the driver runs the multi-minute all-core Verify immediately
+  *    before Bench, so Bench STARTS on a throttled VM — fixed sleeps
+  *    (10–30 s) demonstrably do not shed that state. Both phases are
+  *    now gated on [[coolWait]]: an 8-thread scalar-cascade probe
+  *    every few seconds until throughput plateaus (box recovered),
+  *    with a hard cap protecting the bench budget;
+  *  - `scoringWorkload` builds 9000 × C(70,2) ≈ 21.7M pairs — the
+  *    exact table the 2→8 window was validated on. (The round-3
+  *    builder generated 18000 entities = 43.5M pairs; the recorded
+  *    run only survived because the 21.7M table pre-existed in /tmp.)
+  *  - always exactly 3 adjacent pairs (plus one replacement if a
+  *    child run fails) — no deadline guard can shrink the sample;
+  *  - within-pair level order ALTERNATES (c2-first, c8-first,
+  *    c2-first) so a monotone drift in either direction cancels
+  *    across pairs instead of biasing every ratio the same way;
+  *  - the published throughputs and the efficiency come from the SAME
+  *    (median-ratio) pair — BENCH_r03 mixed max-over-pairs
+  *    throughputs with a median-of-ratios efficiency.
   */
 object Bench {
 
@@ -40,25 +64,27 @@ object Bench {
     s
   }
 
-  /** Deterministic heavy pair-scoring workload: ~43.5M SAME-ENTITY
-    * variant pairs (18000 entities × 70 name variants, all C(70,2)
+  /** Deterministic heavy pair-scoring workload: ~21.7M SAME-ENTITY
+    * variant pairs (9000 entities × 70 name variants, all C(70,2)
     * pairs per entity — the 70-variant mix is measurably cascade-denser
     * per pair than 100 variants, whose extra shape repeats exit early).
+    * This is byte-identical in content to the committed protocol's v5
+    * table (`GenPairs 9000 70 128 /tmp/graft_bench_pairs_v5`), the
+    * table every published 2→8 window number was measured on.
     *
-    * Why same-entity pairs and not random cross-bucket pairs (the
-    * previous shape): BASELINE's throughput metric is "candidate pairs
-    * pushed through the full match CASCADE per second", and a random
-    * pair is ~99% prefilter-rejected in ~0.5 µs — a workload of such
-    * pairs measures the parquet scan + tokenizer, which is memory-
-    * bandwidth-bound and (after the bit-parallel LCS landed) stops
-    * scaling on one box long before the cascade does: the recorded
-    * ratio collapsed 0.90 → 0.63 from a kernel SPEEDUP. Same-entity
-    * variant pairs all pass the gate and run the full rule cascade —
-    * the compute profile of real blocking candidates, and the stage a
-    * cluster actually spends its cores on. Sized so the fast (16-core)
-    * level runs >10s and three (N,4N) pairs fit the bench budget. */
+    * Why same-entity pairs and not random cross-bucket pairs: the
+    * BASELINE throughput metric is "candidate pairs pushed through the
+    * full match CASCADE per second", and a random pair is ~99%
+    * prefilter-rejected in ~0.5 µs — a workload of such pairs measures
+    * the parquet scan + tokenizer, which is memory-bandwidth-bound and
+    * (after the bit-parallel LCS landed) stops scaling on one box long
+    * before the cascade does. Same-entity variant pairs all pass the
+    * gate and run the full rule cascade — the compute profile of real
+    * blocking candidates, and the stage a cluster actually spends its
+    * cores on. Sized so the slow (2-core) level runs ~45 s and three
+    * (N,4N) pairs fit the bench budget. */
   private def scoringWorkload(spark: SparkSession, dir: String): DataFrame = {
-    val pages = PagesGen.generate(spark, nEntities = 18000, mentionsPerEntity = 70)
+    val pages = PagesGen.generate(spark, nEntities = 9000, mentionsPerEntity = 70)
     val m = Pipeline.extractMentions(pages)
     val n = Pipeline.normalize(m.select(col("mention_id").as("id"), col("name")))
       .join(m.select(col("mention_id").as("id"), col("url")), Seq("id"))
@@ -70,6 +96,71 @@ object Bench {
     a.join(bb, Seq("b")).where(col("id_a") < col("id_b"))
       .select("pre_a", "pre_b", "nos_a", "nos_b")
   }
+
+  // ---- adaptive cool-gate -------------------------------------------------
+
+  /** Names for the capability probe — built once, deterministic. */
+  private lazy val probeNames: Array[String] = {
+    val ns = (0 until 6000).map { i =>
+      graft.text.Normalizer.namePreprocessing(
+        graft.pages.PagesGen.mentionName(i / 4, i % 4), removePeople = false)
+    }.filter(n => n != null && n.nonEmpty).toArray
+    graft.tools.ScalarBench.run(ns, 300000, 0) // JIT/classload warm, untimed
+    ns
+  }
+
+  /** One ~1.5 s, 8-thread burst of the scalar cascade kernel; returns
+    * pairs/sec. 8 threads because the throttle this probes for hits
+    * higher core counts harder — the c8 level is what a hot box
+    * under-reports. */
+  private def probeTput(): Double = {
+    val threads = 8
+    val durNanos = 1500000000L
+    val done = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var seed = t * 1047
+        while (System.nanoTime() - t0 < durNanos) {
+          graft.tools.ScalarBench.run(probeNames, 50000, seed)
+          done.addAndGet(50000)
+          seed += 13
+        }
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    done.get / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Block until the box's kernel throughput PLATEAUS — i.e. the VM
+    * has shed whatever sustained-load throttle it entered with (the
+    * driver runs the all-core Verify right before Bench; a fixed
+    * sleep measured too short three rounds running). Declared cool
+    * when a probe stops improving on its predecessor (<3% rise) and
+    * is not a dip below the best seen (≥95%). Capped so a
+    * permanently-slow box (noisy neighbor) cannot eat the budget —
+    * after the cap we proceed and measure what the box can do. */
+  private def coolWait(label: String, capSecs: Int): Unit = {
+    val t0 = System.nanoTime()
+    var prev = 0.0
+    var best = 0.0
+    var n = 0
+    var cool = false
+    while (!cool && (System.nanoTime() - t0) / 1e9 < capSecs) {
+      val cur = probeTput()
+      n += 1
+      System.err.println(f"[bench] coolwait($label) probe $n: ${cur / 1e6}%.2fM pairs/s")
+      if (n >= 2 && cur <= prev * 1.03 && cur >= best * 0.95) cool = true
+      best = math.max(best, cur)
+      prev = cur
+      if (!cool) Thread.sleep(6000)
+    }
+    System.err.println(f"[bench] coolwait($label) done after $n probes, " +
+      f"${(System.nanoTime() - t0) / 1e9}%.0fs")
+  }
+
+  // ---- pinned fresh-JVM scaling pairs ------------------------------------
 
   private val jdk17AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -118,7 +209,7 @@ object Bench {
     * sandbox): N vs 4N pinned fresh-JVM scoring runs on the identical
     * input.
     *
-    * Protocol notes (measured, full data in BASELINE.md):
+    * Protocol (validated measurements + window history in BASELINE.md):
     *  - fresh PINNED JVMs (taskset 0..N-1 + ActiveProcessorCount=N +
     *    ParallelGC — see timeScoring) so "N cores" means N cores'
     *    worth of compute AND service threads;
@@ -128,52 +219,52 @@ object Bench {
     *    cores (the Spark-free scalar kernel reaches only ~0.85 at
     *    8→32) — a ceiling 4 separate executor machines would not
     *    share, so high-core single-box pairs structurally
-    *    under-report cluster scaling. The window moved 4→16 to 2→8 in
-    *    round 3: the bit-parallel LCS made the cascade ~2× faster per
-    *    byte scanned, which pushed the bandwidth ceiling down to ~16
-    *    cores (measured: 4→16 collapsed 0.90 → 0.63-0.79 from a pure
-    *    kernel SPEEDUP while 2→8 reads 0.89-0.94; full data in
-    *    BASELINE.md);
-    *  - each sample is an ADJACENT (N, 4N) pair and efficiency is the
-    *    median of per-pair ratios: this VM's throughput drifts ±20%
-    *    over minutes, and adjacent pairing cancels the drift that a
-    *    max/median over separated runs confounds;
-    *  - a cool-down precedes each pair (sustained all-core load
-    *    throttles the VM; we measure capability, not thermal state). */
+    *    under-report cluster scaling;
+    *  - each sample is an ADJACENT (N, 4N) pair — this VM's
+    *    throughput drifts ±20% over minutes, and adjacency cancels
+    *    the drift inside each ratio; the level order alternates
+    *    across pairs so residual within-pair drift cancels across
+    *    the sample instead of biasing it;
+    *  - exactly 3 pairs, always (one replacement pair allowed if a
+    *    child JVM fails); efficiency AND both published throughputs
+    *    are the median-ratio pair's numbers. */
   private def runScalingPairs(candPath: String,
-      results: scala.collection.mutable.LinkedHashMap[String, Double],
-      t0Main: Long): Unit = {
+      results: scala.collection.mutable.LinkedHashMap[String, Double]): Unit = {
     val nSmall = 2
     val nBig = 8
-    val ratios = new scala.collection.mutable.ArrayBuffer[Double]
-    var tputSmall = 0.0
-    var tputBig = 0.0
-    // deadline guard: an (N,4N) pair costs ~67s; stop adding pairs
-    // when the driver's bench budget would be at risk (1 pair minimum;
-    // the 3rd pair only fits when the pair table pre-existed and the
-    // VM is fast)
-    def elapsed = (System.nanoTime() - t0Main) / 1e9
-    for (i <- 1 to 3 if i == 1 || elapsed < 200.0) {
-      Thread.sleep(10000) // cool-down
-      val ts = timeScoring(nSmall, candPath)
-      val tb = timeScoring(nBig, candPath)
+    final case class Sample(ts: Double, tb: Double) {
+      def ratio: Double = tb / (4.0 * ts)
+    }
+    val samples = new scala.collection.mutable.ArrayBuffer[Sample]
+    var attempts = 0
+    while (samples.size < 3 && attempts < 4) {
+      attempts += 1
+      if (attempts > 1) Thread.sleep(15000) // inter-pair cool-down
+      val smallFirst = attempts % 2 == 1
+      val (ts, tb) =
+        if (smallFirst) {
+          val a = timeScoring(nSmall, candPath); val b = timeScoring(nBig, candPath); (a, b)
+        } else {
+          val b = timeScoring(nBig, candPath); val a = timeScoring(nSmall, candPath); (a, b)
+        }
       if (ts > 0 && tb > 0) {
-        ratios += tb / (4.0 * ts)
-        tputSmall = math.max(tputSmall, ts)
-        tputBig = math.max(tputBig, tb)
-        System.err.println(f"[bench] scaling pair $i: ${ts / 1e6}%.2fM -> " +
-          f"${tb / 1e6}%.2fM pairs/s, eff ${tb / (4.0 * ts)}%.3f")
+        val s = Sample(ts, tb)
+        samples += s
+        System.err.println(f"[bench] scaling pair $attempts " +
+          f"(${if (smallFirst) "c2 first" else "c8 first"}): " +
+          f"${ts / 1e6}%.2fM -> ${tb / 1e6}%.2fM pairs/s, eff ${s.ratio}%.3f")
       }
     }
-    // proper median: for an even count, the mean of the middle two —
-    // taking the upper element would record the luckier of 2 noisy
-    // ratios as "the" efficiency
-    val eff =
-      if (ratios.isEmpty) 0.0
-      else {
-        val s = ratios.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    val sorted = samples.sortBy(_.ratio)
+    val (eff, tputSmall, tputBig) =
+      if (sorted.isEmpty) (0.0, 0.0, 0.0)
+      else if (sorted.size % 2 == 1) {
+        val m = sorted(sorted.size / 2)
+        (m.ratio, m.ts, m.tb)
+      } else {
+        val a = sorted(sorted.size / 2 - 1)
+        val b = sorted(sorted.size / 2)
+        ((a.ratio + b.ratio) / 2, (a.ts + b.ts) / 2, (a.tb + b.tb) / 2)
       }
     results(s"pairs_per_sec_c$nSmall") = tputSmall
     results(s"pairs_per_sec_c$nBig") = tputBig
@@ -181,20 +272,18 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val t0Main = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    // part A (FIRST, on the coolest VM state): the N vs 4N scaling
-    // pairs. This VM visibly throttles after minutes of sustained
-    // all-core load (documented in BASELINE.md), and the throttle hits
-    // the 4N level harder than N — running the pinned fresh-JVM pairs
-    // AFTER the headline queries depressed the recorded ratio by
-    // ~0.1-0.2 versus the identical protocol on an idle box. The pairs
-    // need no warm session, so they go first.
+    // part A: the N vs 4N scaling pairs, gated on a MEASURED cool VM.
+    // The driver runs the all-core Verify right before Bench, so the
+    // box starts throttled; running the pairs in that state recorded
+    // 0.72-0.78 three times while the identical protocol on a cool box
+    // reads 0.89-0.94 (BASELINE.md). The pairs need no warm session,
+    // so they still go first — after the cool-gate.
     val candPath = "/tmp/graft_bench_pairs_v5"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(candPath))) {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$candPath/_SUCCESS"))) {
       val s0 = session(cpus)
       try scoringWorkload(s0, sfDir).repartition(128)
         .write.mode("overwrite").parquet(candPath)
@@ -202,35 +291,34 @@ object Bench {
         s0.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
-        Thread.sleep(20000) // let the build's load dissipate
       }
     }
-    runScalingPairs(candPath, results, t0Main)
-    Thread.sleep(30000) // decouple: let the scaling load's throttle decay
+    coolWait("pre-scaling", capSecs = 120)
+    runScalingPairs(candPath, results)
+    coolWait("pre-headline", capSecs = 60) // decouple headline from pair load
 
-    // part B: headline queries
-    // cheap relational queries first: they absorb JIT/codegen warmup
-    // the way a long-running cluster service would already have
-    // the three heavy ER queries run FIRST (the coolest point after
-    // the decouple sleep — sub-second queries don't care about the
-    // throttle tax, 30-50s ones do); the cascade warmup slot below
-    // pre-JITs their scoring path
-    val headline = Seq("er_edges", "er_clusters", "er_match",
+    // part B: headline queries. Cheap relational/dedup/ANN queries
+    // first — each is sub-second-to-few-seconds and generates little
+    // sustained load — then the three heavy er_* queries LAST, so the
+    // only load ahead of them is light (BENCH_r03's heavy-first order
+    // left every mid-bench query paying the heavy queries' throttle
+    // tax: q13 1.7 -> 9.3s with an unchanged trivial plan).
+    val headline = Seq(
       "q1_pricing", "q2_order_counts", "q3_window_latest",
       "q4_events_hourly", "q6_dedup_exact", "q8_char_jaccard",
       "q13_token_df", "q14_lang_quality", "q15_ann_range", "q16_ann_topk",
       "q18_cc_copurchase", "q20_media_features", "q10_dedup_simhash",
-      "q11_cosine_dedup", "q9_dedup_minhash", "q23_tfidf_cosine")
+      "q11_cosine_dedup", "q9_dedup_minhash", "q23_tfidf_cosine",
+      "er_edges", "er_clusters", "er_match")
     val s1 = session(cpus)
     try {
       // untimed warmup: absorb JIT/codegen/classloader/file-index
       // warmup so the first timed slot isn't charged for it (round-2
       // artifact: q1 read 5.0s purely from running first; a
       // long-running cluster service is warm). One cheap relational
-      // query + one ANN shape covers the two codegen families.
-      // q1: relational codegen family; q16: ANN expression family;
-      // er_pair_mode: normalize + prefilter + cascade codegen (without
-      // it the first er_* slot absorbs the cascade JIT)
+      // query + one ANN shape covers the two codegen families;
+      // er_pair_mode pre-JITs the normalize + prefilter + cascade path
+      // so the er_* block isn't charged for it either.
       for (w <- Seq("q1_pricing", "q16_ann_topk", "er_pair_mode")) {
         try SparkEntry.queries(w)(s1, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $w: $e") }
@@ -252,14 +340,17 @@ object Bench {
     val total = results.filterNot(kv =>
       kv._1.startsWith("pairs_per") || kv._1.startsWith("scaling")).values.sum
     val protocol = "two-cluster-size proxy (no real cluster in sandbox): " +
-      s"pair-scoring stage over an identical 43.5M-same-entity-pair parquet table (all pairs cascade-scored) in fresh JVMs " +
-      s"pinned to N cores (taskset 0..N-1, ActiveProcessorCount=N, ParallelGC), " +
-      s"N=2 vs 4N=8 - both levels inside the single box's unshared-resource " +
-      "envelope (the box's memory-bandwidth/throttle ceiling binds from ~16 cores " +
-      "once the bit-parallel-LCS cascade runs ~2x faster per byte; the scalar " +
-      "kernel itself caps at ~0.85 for 8->32; window history in BASELINE.md); " +
-      "efficiency = median over 3 adjacent (N,4N) run pairs of tput4N/(4*tputN), " +
-      "cool-down before each pair"
+      "pair-scoring stage over an identical 21.7M-same-entity-pair parquet table " +
+      "(all pairs cascade-scored) in fresh JVMs pinned to N cores " +
+      "(taskset 0..N-1, ActiveProcessorCount=N, ParallelGC), N=2 vs 4N=8 - " +
+      "both levels inside the single box's unshared-resource envelope " +
+      "(the box's own bandwidth/throttle ceiling binds from ~16 cores; " +
+      "window history in BASELINE.md); 3 adjacent (N,4N) pairs with " +
+      "alternating level order, each preceded by a cool-down, the whole " +
+      "phase gated on a measured kernel-throughput plateau (adaptive " +
+      "cool-gate - the VM throttles for minutes after sustained all-core " +
+      "load); efficiency AND both throughputs = the median-ratio pair's " +
+      "tput4N/(4*tputN), tputN, tput4N"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""scaling_protocol":"$protocol","sf":"$sfDir"}""")
   }
