@@ -62,9 +62,11 @@ object ConnectedComponents {
     var labels = ck(sym.select($"src".as("id")).distinct()
       .withColumn("component", $"id"))
 
-    def sumOf(df: DataFrame): java.math.BigDecimal = df
+    // sum over ZERO rows is SQL-null: an empty edge list (every edge
+    // pruned/dropped upstream) must converge in one round, not NPE
+    def sumOf(df: DataFrame): java.math.BigDecimal = Option(df
       .agg(sum($"component".cast("decimal(38,0)")).as("s"))
-      .as[java.math.BigDecimal].head()
+      .as[java.math.BigDecimal].head()).getOrElse(java.math.BigDecimal.ZERO)
 
     var prevSum = sumOf(labels)
     var iter = 0
@@ -84,7 +86,7 @@ object ConnectedComponents {
         .observe(obsName, sum($"component".cast("decimal(38,0)")).as("s"))
       val next = ck(observed) // the round's single action
       val s = observed.queryExecution.observedMetrics.get(obsName)
-        .map(_.getDecimal(0)).getOrElse(sumOf(next))
+        .flatMap(r => Option(r.getDecimal(0))).getOrElse(sumOf(next))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()

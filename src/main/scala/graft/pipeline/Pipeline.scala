@@ -57,10 +57,29 @@ object Pipeline {
       // instead of executor-memory localCheckpoint, so a lost executor
       // cannot kill a multi-hour job. None = local mode. Excluded from
       // `hash`: checkpoint placement never changes results.
-      reliableCheckpointDir: Option[String] = None) {
-    def hash: String = Lineage.sha("v3", cutoff.toString, removePeople.toString,
+      reliableCheckpointDir: Option[String] = None,
+      // over-merge mitigation (a corpus-policy choice — OFF by default
+      // to stay reference-faithful): when set, name-node edges
+      // incident to a vertex of degree > maxHubDegree are dropped
+      // before clustering (ConnectedComponents.pruneHubs — the
+      // production monitor+mitigation BASELINE.md's 320k stress
+      // analysis documents). Changes results ⇒ participates in `hash`.
+      // NOTE: with pruning on, the name-level/mention-level
+      // bit-identity contract is intentionally void — pruning is
+      // defined on the name graph.
+      maxHubDegree: Option[Int] = None,
+      // hydration-join strategy: `true` (default) broadcasts the
+      // distinct-name-sized tables (memo, node flags, name clusters) —
+      // right whenever distinct names fit the 8GB/driver broadcast
+      // envelope. At 10^12-document scale distinct names outgrow
+      // that, so production sets `false`: the same joins run as
+      // shuffle joins keyed on id/pre_proc and the cascade fan-out
+      // repartition moves to the join output. Plan-only ⇒ excluded
+      // from `hash`.
+      broadcastNames: Boolean = true) {
+    def hash: String = Lineage.sha("v4", cutoff.toString, removePeople.toString,
       maxBlockSize.toString, runawayBlockSize.toString, ccMaxIter.toString,
-      postFilterPeople.toString)
+      postFilterPeople.toString, maxHubDegree.toString)
   }
 
   /** pages → (mention_id, url, name). */
@@ -106,6 +125,24 @@ object Pipeline {
     if (keyed.columns.contains("w"))
       keyed.groupBy("key").agg(sum(col("w")).as("block_size"))
     else keyed.groupBy("key").agg(count(lit(1)).as("block_size"))
+
+  /** ids appearing in ≥1 block NOT dropped by the runaway bound — the
+    * exact vertex set whose (self-)pairs the blocking join can
+    * generate. [[mentionComponents]] gates self-accept contraction on
+    * it: a self-accepting name with ≥2 mentions whose EVERY blocking
+    * key is runaway-dropped gets no mention pairs under mention-level
+    * scoring, so name-level contraction must leave its mentions
+    * singletons too (the round-3 ADVICE edge case). Runaway keys are
+    * few by construction → broadcast anti-join. */
+  def keptBlockIds(keyed: DataFrame, cfg: Config): DataFrame =
+    keyed
+      .join(broadcast(blockSizes(keyed)
+        .where(col("block_size") > cfg.runawayBlockSize).select("key")),
+        Seq("key"), "left_anti")
+      .select("id").distinct()
+
+  private def maybeBroadcast(df: DataFrame, cfg: Config): DataFrame =
+    if (cfg.broadcastNames) broadcast(df) else df
 
   /** Hot-key census with the per-key salt count: keys in
     * (maxBlockSize, runawayBlockSize] are salted into
@@ -223,7 +260,7 @@ object Pipeline {
     norm.persist()
     val keyed = withBlockingKeys(norm)
       .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
-    attachNames(candidatePairsSelf(keyed, cfg), norm)
+    attachNames(candidatePairsSelf(keyed, cfg), norm, cfg)
   }
 
   /** Prefilter-FUSED candidate generation — the edge-path variant of
@@ -258,7 +295,7 @@ object Pipeline {
       .observe("graft_keyed_rows", count(lit(1)).as("rows_in"))
       .persist()
     (attachNames(candidatePairsSelf(keyed, cfg, cacheKeyed = false,
-      earlyFilter = true), norm), keyed)
+      earlyFilter = true), norm, cfg), keyed)
   }
 
   /** Join the normalized-name columns back onto an (id_a, id_b) pair
@@ -274,22 +311,33 @@ object Pipeline {
     *  2. the name columns are attached AFTER that shuffle via
     *     BROADCAST joins (distinct names ≪ pairs), which preserve the
     *     pair partitioning — the wide string payload never enters an
-    *     exchange. (On a cluster where the name memo outgrows
-    *     broadcast, this becomes a SHUFFLE_HASH join keyed on id and
-    *     the repartition moves to the join output.) */
-  def attachNames(pairs: DataFrame, norm: DataFrame): DataFrame =
-    attachNames2(pairs, norm, norm)
+    *     exchange. On a cluster where the name memo outgrows broadcast
+    *     (`cfg.broadcastNames = false`), the same joins run as
+    *     SHUFFLE_HASH keyed on id and the cascade fan-out repartition
+    *     moves to the join OUTPUT (the pre-join repartition would be
+    *     destroyed by the join exchange anyway). */
+  def attachNames(pairs: DataFrame, norm: DataFrame,
+      cfg: Config = Config()): DataFrame =
+    attachNames2(pairs, norm, norm, cfg)
 
   /** Two-table variant (main × base) of [[attachNames]]. */
-  def attachNames2(pairs: DataFrame, normA: DataFrame, normB: DataFrame): DataFrame = {
+  def attachNames2(pairs: DataFrame, normA: DataFrame, normB: DataFrame,
+      cfg: Config = Config()): DataFrame = {
     val n1 = normA.select(col("id").as("id_a"),
       col("pre_proc").as("pre_a"), col("nosuffix").as("nos_a"))
     val n2 = normB.select(col("id").as("id_b"),
       col("pre_proc").as("pre_b"), col("nosuffix").as("nos_b"))
-    pairs
-      .repartition(pairs.sparkSession.sparkContext.defaultParallelism * 2)
-      .join(broadcast(n1), Seq("id_a")).join(broadcast(n2), Seq("id_b"))
-      .select("id_a", "id_b", "pre_a", "pre_b", "nos_a", "nos_b")
+    val par = pairs.sparkSession.sparkContext.defaultParallelism * 2
+    val joined =
+      if (cfg.broadcastNames)
+        pairs.repartition(par)
+          .join(broadcast(n1), Seq("id_a")).join(broadcast(n2), Seq("id_b"))
+      else
+        pairs
+          .join(n1.hint("SHUFFLE_HASH"), Seq("id_a"))
+          .join(n2.hint("SHUFFLE_HASH"), Seq("id_b"))
+          .repartition(par)
+    joined.select("id_a", "id_b", "pre_a", "pre_b", "nos_a", "nos_b")
   }
 
   /** Two-sided candidate generation (main × base, matcher.py flow).
@@ -306,7 +354,7 @@ object Pipeline {
     val keyedM = withBlockingKeys(main).select(col("key"), col("id").as("id_a"))
     val keyedB = withBlockingKeys(base).select(col("key"), col("id").as("id_b"))
     attachNames2(candidatePairsTwoSided(keyedM, keyedB, cfg,
-      cacheKeyed = cacheInputs), main, base)
+      cacheKeyed = cacheInputs), main, base, cfg)
   }
 
   /** Prefilter-fused two-sided candidates — see [[edgeCandidatesSelf]]
@@ -337,7 +385,7 @@ object Pipeline {
     val keyedM = withBlockingKeys(main)
       .select(col("key"), col("id").as("id_a"), col("nosuffix").as("nos_a"))
     attachNames2(candidatePairsTwoSided(keyedM, keyedB, cfg,
-      cacheKeyed = cacheKeyed, earlyFilter = true), main, base)
+      cacheKeyed = cacheKeyed, earlyFilter = true), main, base, cfg)
   }
 
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —
@@ -482,32 +530,48 @@ object Pipeline {
     * identical too-general names with −21 and all-suffix names with
     * −1/−2), so blind contraction would wrongly merge self-rejecting
     * same-name mentions. The exact rule: a mention inherits its name
-    * node's component iff the name SELF-ACCEPTS or has ≥1 accepted
-    * edge (then mention-level merges its mentions transitively through
-    * the partner anyway); otherwise the mention is its own singleton —
+    * node's component iff the name SELF-ACCEPTS *and appears in ≥1
+    * non-runaway-dropped block* (mention-level scoring only generates
+    * self-pairs there — `keptIds`), or has ≥1 accepted edge (then
+    * mention-level merges its mentions transitively through the
+    * partner anyway); otherwise the mention is its own singleton —
     * exactly what mention-level CC produces. Label identity holds
     * because node id = min mention id per name, so min-label over
     * nodes = min over the component's mention ids. Asserted
     * bit-identical to the expanded mention-level path on a duplicated
     * corpus (incl. self-rejecting names) in PipelineSpec. */
   private def mentionComponents(norm: DataFrame, names: DataFrame,
-      edges: DataFrame, nameClusters: DataFrame): DataFrame = {
+      edges: DataFrame, nameClusters: DataFrame, keptIds: DataFrame,
+      cfg: Config): DataFrame = {
     val endpoints = edges.select(col("id_a").as("nid"))
       .unionByName(edges.select(col("id_b").as("nid"))).distinct()
       .withColumn("has_edge", lit(true))
+    // self-accept contraction is gated on the name appearing in ≥1
+    // non-runaway-dropped block (keptIds): mention-level scoring
+    // generates a name's self-pairs only there, so an all-keys-runaway
+    // self-accepting name must stay singletons under both paths. A
+    // name with an accepted edge is in a kept block by construction.
     val nodeFlag = names
       .select(col("pre_proc"), col("id").as("nid"),
         (gf.opt_barrier(gf.match_score(col("pre_proc"), col("pre_proc"))) > 0)
           .as("self_ok"))
       .join(endpoints, Seq("nid"), "left")
+      .join(keptIds.select(col("id").as("nid"), lit(true).as("in_block")),
+        Seq("nid"), "left")
       .select(col("pre_proc"), col("nid"),
-        (col("self_ok") || coalesce(col("has_edge"), lit(false))).as("contract"))
+        ((col("self_ok") && coalesce(col("in_block"), lit(false))) ||
+          coalesce(col("has_edge"), lit(false))).as("contract"))
     // hydrate mentions: mention → its name node → the node's component.
     // Both maps are distinct-name-sized (≪ mentions at web scale);
-    // broadcast keeps the mention table un-shuffled.
+    // broadcast keeps the mention table un-shuffled. When distinct
+    // names outgrow the broadcast envelope (cfg.broadcastNames =
+    // false — the 10^12-document regime), the same joins run as
+    // shuffle joins on pre_proc/nid instead: correct at any size,
+    // one extra exchange of the mention table.
     norm.select(col("id"), col("pre_proc"))
-      .join(broadcast(nodeFlag), Seq("pre_proc"))
-      .join(broadcast(nameClusters.withColumnRenamed("id", "nid")), Seq("nid"))
+      .join(maybeBroadcast(nodeFlag, cfg), Seq("pre_proc"))
+      .join(maybeBroadcast(nameClusters.withColumnRenamed("id", "nid"), cfg),
+        Seq("nid"))
       .select(col("id"),
         when(col("contract"), col("component")).otherwise(col("id"))
           .as("component"))
@@ -531,9 +595,18 @@ object Pipeline {
       .persist()
     val names = nameNodes(norm).persist()
     val (cand, keyed) = edgeCandidatesSelfKeyed(names, cfg)
-    val edges = scoreCandidates(cand, cfg).persist()
+    val edges0 = scoreCandidates(cand, cfg).persist()
+    // hub pruning (opt-in over-merge mitigation): drop edges incident
+    // to name nodes of degree > maxHubDegree before clustering
+    val edges = cfg.maxHubDegree match {
+      case Some(d) => ConnectedComponents
+        .pruneHubs(edges0.select(col("id_a"), col("id_b")), d)
+        .toDF("id_a", "id_b")
+      case None => edges0
+    }
     val nameClusters = cluster(edges, names.select("id"), cfg)
-    val clusters = mentionComponents(norm, names, edges, nameClusters)
+    val clusters = mentionComponents(norm, names, edges, nameClusters,
+      keptBlockIds(keyed, cfg), cfg)
     val joined = mentions.join(clusters, mentions("mention_id") === clusters("id"))
     // the reference's post-processing round trip (postproc-ppl.py:15-24)
     // as a final in-plan filter — no file round trip needed
@@ -548,7 +621,7 @@ object Pipeline {
     norm.unpersist()
     names.unpersist()
     keyed.unpersist()
-    edges.unpersist()
+    edges0.unpersist()
     out
   }
 
@@ -570,15 +643,34 @@ object Pipeline {
     val nFp = io.fingerprint(s"$root/names_norm")
     // edges are NAME-level (one row per scored distinct-name pair —
     // the committed face of the match memo); ids are min-mention-ids,
-    // so downstream consumers can still join them to mentions
+    // so downstream consumers can still join them to mentions.
+    // The keyed/name persists made inside the stage block are released
+    // AFTER Lineage.stage's write action (the block is by-name — it
+    // only runs, and only persists, when the stage isn't resumed).
+    var edgeCaches: Seq[DataFrame] = Nil
     val edges = Lineage.stage(spark, root, "edges", nFp, ch, io) {
-      scoreCandidates(edgeCandidatesSelf(nameNodes(norm), cfg), cfg)
+      val names = nameNodes(norm)
+      val (cand, keyed) = edgeCandidatesSelfKeyed(names, cfg)
+      edgeCaches = Seq(keyed, names)
+      scoreCandidates(cand, cfg)
     }
+    edgeCaches.foreach(_.unpersist())
     val eFp = io.fingerprint(s"$root/edges")
     Lineage.stage(spark, root, "clusters", eFp, ch, io) {
       val names = nameNodes(norm)
-      val nameClusters = cluster(edges, names.select("id"), cfg)
-      mentionComponents(norm, names, edges, nameClusters)
+      // the runaway-kept vertex set is recomputed from the name nodes
+      // (name-level key explode — cheap relative to the committed
+      // stage, and the stage runs at most once per (input, config))
+      val keyed = withBlockingKeys(names).select(col("id"), col("key"), col("w"))
+      val prunedEdges = cfg.maxHubDegree match {
+        case Some(d) => ConnectedComponents
+          .pruneHubs(edges.select(col("id_a"), col("id_b")), d)
+          .toDF("id_a", "id_b")
+        case None => edges
+      }
+      val nameClusters = cluster(prunedEdges, names.select("id"), cfg)
+      mentionComponents(norm, names, prunedEdges, nameClusters,
+        keptBlockIds(keyed, cfg), cfg)
     }
   }
 }

