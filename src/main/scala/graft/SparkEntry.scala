@@ -70,6 +70,16 @@ object SparkEntry {
     n.select(col("id").as("id_a")).join(n.select(col("id").as("id_b")),
         col("id_a") % 97 === col("id_b") % 97 && col("id_a") < col("id_b"))
 
+  /** Accepted two-sided edges (matcher.py's main × base flow) —
+    * shared by er_match and q28_best_match. */
+  private def twoSidedScored(s: SparkSession, dir: String): DataFrame = {
+    val mentions = Pipeline.extractMentions(pagesFor(s, dir))
+    val main = Pipeline.normalize(
+      mentions.select(col("mention_id").as("id"), col("name")))
+    val base = Pipeline.normalize(PagesGen.baseUniverse(s, entityCountFor(dir)))
+    Pipeline.scoreCandidates(Pipeline.edgeCandidatesTwoSided(main, base))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * extract → normalize → block → score → cluster dataflow. */
   def entry(spark: SparkSession): DataFrame =
@@ -105,12 +115,8 @@ object SparkEntry {
       // extracted mentions × canonical base universe → 5-col output
       // (main_idx, main_name, base_idx, base_name, token_sort_ratio)
       val mentions = Pipeline.extractMentions(pagesFor(s, dir))
-      val main = Pipeline.normalize(
-        mentions.select(col("mention_id").as("id"), col("name")))
       val baseRaw = PagesGen.baseUniverse(s, entityCountFor(dir))
-      val base = Pipeline.normalize(baseRaw)
-      val edges = Pipeline.scoreCandidates(Pipeline.edgeCandidatesTwoSided(main, base))
-      edges
+      twoSidedScored(s, dir)
         .join(mentions.select(col("mention_id").as("id_a"), col("name").as("main_name")),
           Seq("id_a"))
         .join(baseRaw.select(col("id").as("id_b"), col("name").as("base_name")),
@@ -118,6 +124,43 @@ object SparkEntry {
         .select(col("id_a").as("main_idx"), col("main_name"),
           col("id_b").as("base_idx"), col("base_name"),
           col("score").as("token_sort_ratio"))
+    }),
+    "q28_best_match" -> ((s, dir) => {
+      // per-entity best match (README.md:36-43's "best match per name"
+      // reading): row_number over the accepted two-sided edges per
+      // main mention, highest token_sort_ratio wins, base id breaks
+      // ties deterministically
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("score").desc, col("id_b"))
+      twoSidedScored(s, dir)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("id_a").as("main_idx"), col("id_b").as("best_base_idx"),
+          col("score").as("token_sort_ratio"))
+    }),
+    "er_component_stats" -> ((s, dir) => {
+      // the production over-merge monitor (ConnectedComponents
+      // .componentStats): component-size histogram of the accepted
+      // mention-edge graph — a fat tail is the classic transitive
+      // over-merge signal (BASELINE.md's 320k stress analysis)
+      val n = mentionsNormCached(s, dir)
+      val edges = Pipeline.scoreCandidates(Pipeline.edgeCandidatesSelf(n))
+        .select("id_a", "id_b")
+      ConnectedComponents.componentStats(ConnectedComponents.run(edges))
+        .select(col("size"), col("n_components"))
+    }),
+    "er_resume" -> ((s, dir) => {
+      // the resumable dataflow surfaced driver-side: per-stage
+      // committed parquet + lineage sidecars under a deterministic
+      // root (a second run resumes from the committed stages —
+      // PipelineSpec proves byte-identical reuse; this row proves the
+      // committed output against the DuckDB clustering oracle)
+      val root = s"/tmp/graft_resume_${entityCountFor(dir)}_${Pipeline.Config().hash}"
+      val fp = graft.pipeline.Lineage.sha("pages", entityCountFor(dir).toString)
+      Pipeline.runResumable(s, pagesFor(s, dir), root, fp)
+        .select(col("id").as("mention_id"), col("component"))
     }),
 
     "er_match_cand" -> ((s, dir) => {
@@ -413,6 +456,36 @@ object SparkEntry {
          |JOIN $M m ON c.id_a = m.mention_id
          |JOIN $BASE b ON c.id_b = b.id
          |WHERE c.code > 0""".stripMargin,
+    "q28_best_match" ->
+      s"""WITH acc AS (SELECT id_a, id_b, score FROM $MCODES WHERE code > 0),
+         |r AS (SELECT id_a, id_b, score,
+         |      ROW_NUMBER() OVER (PARTITION BY id_a
+         |        ORDER BY score DESC, id_b) AS rn FROM acc)
+         |SELECT id_a AS main_idx, id_b AS best_base_idx,
+         |score AS token_sort_ratio FROM r WHERE rn = 1""".stripMargin,
+    "er_component_stats" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT id_a AS a, id_b AS b FROM $CODES WHERE code > 0),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY component)
+         |SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY size""".stripMargin,
+    "er_resume" ->
+      s"""WITH RECURSIVE m AS (SELECT * FROM $M),
+         |verts AS (SELECT m.mention_id AS id FROM m JOIN $MEMO d USING (name)),
+         |e AS (SELECT id_a AS a, id_b AS b FROM $CODES WHERE code > 0),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+         |SELECT v.id AS mention_id, COALESCE(c.component, v.id) AS component
+         |FROM verts v LEFT JOIN comp c USING (id)""".stripMargin,
     "er_permutation" ->
       s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
          |n AS (SELECT m.id FROM m JOIN $MEMO d USING (name)),
