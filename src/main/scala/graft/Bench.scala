@@ -105,7 +105,16 @@ object Bench {
       graft.text.Normalizer.namePreprocessing(
         graft.pages.PagesGen.mentionName(i / 4, i % 4), removePeople = false)
     }.filter(n => n != null && n.nonEmpty).toArray
-    graft.tools.ScalarBench.run(ns, 300000, 0) // JIT/classload warm, untimed
+    // JIT/classload warm, untimed — single-threaded first, then one
+    // short multi-threaded burst: without the burst the FIRST real
+    // probe still pays C2 tier-up and reads ~0.1M pairs/s regardless
+    // of thermal state (measured), wasting a probe cycle
+    graft.tools.ScalarBench.run(ns, 300000, 0)
+    val ts = (0 until 8).map { t =>
+      val th = new Thread(() => graft.tools.ScalarBench.run(ns, 150000, t * 1047))
+      th.start(); th
+    }
+    ts.foreach(_.join())
     ns
   }
 
@@ -133,16 +142,35 @@ object Bench {
     done.get / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Persisted machine-capability anchor: the best 8-thread probe
+    * reading ever seen on this box (across bench runs — /tmp
+    * survives within a session). Without it, a recovery STALL looks
+    * like a plateau: a measured run exited at 4.7M pairs/s while the
+    * box's true capability was ~5.5M, and the first scaling pair then
+    * recorded eff 0.677 (absorbed by the median, but avoidable). When
+    * a cool-wait caps out below the anchor, the anchor is RESET to
+    * what the box can currently do — a genuinely slower box (noisy
+    * neighbor) must not make every later phase wait pointlessly. */
+  private val probeBestFile = java.nio.file.Paths.get("/tmp/graft_probe_best_v1")
+  private def storedBest: Double =
+    try new String(java.nio.file.Files.readAllBytes(probeBestFile)).trim.toDouble
+    catch { case _: Throwable => 0.0 }
+  private def writeBest(v: Double): Unit =
+    try java.nio.file.Files.write(probeBestFile, f"$v%.1f".getBytes)
+    catch { case _: Throwable => () }
+
   /** Block until the box's kernel throughput PLATEAUS — i.e. the VM
     * has shed whatever sustained-load throttle it entered with (the
     * driver runs the all-core Verify right before Bench; a fixed
     * sleep measured too short three rounds running). Declared cool
-    * when a probe stops improving on its predecessor (<3% rise) and
-    * is not a dip below the best seen (≥95%). Capped so a
-    * permanently-slow box (noisy neighbor) cannot eat the budget —
-    * after the cap we proceed and measure what the box can do. */
+    * when a probe stops improving on its predecessor (<3% rise), is
+    * not a dip below the best seen this phase (≥95%), and is within
+    * 85% of the capability anchor. Capped so a permanently-slow box
+    * cannot eat the budget — after the cap we proceed, measure what
+    * the box can do, and recalibrate the anchor. */
   private def coolWait(label: String, capSecs: Int): Unit = {
     val t0 = System.nanoTime()
+    val anchor = storedBest
     var prev = 0.0
     var best = 0.0
     var n = 0
@@ -151,13 +179,17 @@ object Bench {
       val cur = probeTput()
       n += 1
       System.err.println(f"[bench] coolwait($label) probe $n: ${cur / 1e6}%.2fM pairs/s")
-      if (n >= 2 && cur <= prev * 1.03 && cur >= best * 0.95) cool = true
+      if (n >= 2 && cur <= prev * 1.03 && cur >= best * 0.95 &&
+        cur >= math.max(anchor, best) * 0.85) cool = true
       best = math.max(best, cur)
       prev = cur
-      if (!cool) Thread.sleep(6000)
+      if (!cool) Thread.sleep(4000)
     }
+    if (best > anchor) writeBest(best)
+    else if (!cool) writeBest(best) // capped out below anchor: recalibrate down
     System.err.println(f"[bench] coolwait($label) done after $n probes, " +
-      f"${(System.nanoTime() - t0) / 1e9}%.0fs")
+      f"${(System.nanoTime() - t0) / 1e9}%.0fs (best ${best / 1e6}%.2fM, " +
+      f"anchor ${anchor / 1e6}%.2fM)")
   }
 
   // ---- pinned fresh-JVM scaling pairs ------------------------------------
@@ -239,7 +271,10 @@ object Bench {
     var attempts = 0
     while (samples.size < 3 && attempts < 4) {
       attempts += 1
-      if (attempts > 1) Thread.sleep(15000) // inter-pair cool-down
+      // inter-pair cool-down can stay short: each pair ENDS with ~40s
+      // of 2-core (c2) or brief 8-core load — on a 32-core box that is
+      // itself near-idle time for most of the chip
+      if (attempts > 1) Thread.sleep(8000)
       val smallFirst = attempts % 2 == 1
       val (ts, tb) =
         if (smallFirst) {
@@ -293,9 +328,12 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
-    coolWait("pre-scaling", capSecs = 120)
+    // caps sized so the worst case (cold /tmp → table build + a fully
+    // throttled start + both caps binding) still fits the driver's
+    // bench budget with the headline phase intact
+    coolWait("pre-scaling", capSecs = 75)
     runScalingPairs(candPath, results)
-    coolWait("pre-headline", capSecs = 60) // decouple headline from pair load
+    coolWait("pre-headline", capSecs = 30) // decouple headline from pair load
 
     // part B: headline queries. Cheap relational/dedup/ANN queries
     // first — each is sub-second-to-few-seconds and generates little

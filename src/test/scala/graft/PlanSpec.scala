@@ -48,6 +48,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("match_score"))
   }
 
+  test("broadcastNames=false really switches hydration to shuffle joins") {
+    // the huge-name-memo seam (ADVICE r3): the flag must remove every
+    // broadcast of the name tables from the hydration plan — on a
+    // 10^12-document deployment a silent broadcast here is an 8GB/
+    // driver-OOM hard failure, so the strategy switch is plan-asserted
+    val m = Pipeline.extractMentions(PagesGen.generate(spark, 50, 4))
+      .select(col("mention_id").as("id"), col("name"))
+    val cfg = Pipeline.Config(broadcastNames = false)
+    val p = plan(Pipeline.attachNames(SparkEntry.modPairs(Pipeline.normalize(m)),
+      Pipeline.normalize(m), cfg))
+    // the pair-building join upstream may legitimately broadcast; the
+    // HYDRATION joins (keyed on id_a / id_b) must not
+    val badBroadcast = p.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin [id_a") || l.contains("BroadcastHashJoin [id_b"))
+      .toList
+    assert(badBroadcast.isEmpty,
+      s"name hydration still broadcasts under broadcastNames=false:\n" +
+        badBroadcast.mkString("\n"))
+    assert(p.linesIterator.count(l =>
+      l.contains("ShuffledHashJoin [id_a") || l.contains("ShuffledHashJoin [id_b") ||
+        l.contains("SortMergeJoin [id_a") || l.contains("SortMergeJoin [id_b")) >= 2,
+      s"expected shuffle hydration joins:\n${p.take(600)}")
+  }
+
   test("scoring keeps its observability probes and a single cascade site") {
     val m = Pipeline.extractMentions(PagesGen.generate(spark, 50, 4))
       .select(col("mention_id").as("id"), col("name"))
