@@ -385,6 +385,7 @@ object SparkEntry {
   private val SRP = "read_parquet('__OUTDIR__/_input_srp/*.parquet')"
   private val KEYM = "read_parquet('__OUTDIR__/_input_keyed_main/*.parquet')"
   private val KEYB = "read_parquet('__OUTDIR__/_input_keyed_base/*.parquet')"
+  private val VAR = "read_parquet('__OUTDIR__/_input_variants/*.parquet')"
 
   /** Person-detector CTE body (postproc-ppl.py:4-24): `First M. Last`
     * regex on the raw name, or every word token in the first∪sur set.
@@ -704,6 +705,10 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |CAST(GREATEST(1, (64 * 48) // 64) AS INTEGER) AS thumb_len
         |FROM documents""".stripMargin,
+    "q21_name_variants" ->
+      s"""SELECT m.mention_id AS id, d.pre_proc, v.merged2, v.merged3
+         |FROM $M m JOIN $MEMO d USING (name)
+         |JOIN $VAR v USING (pre_proc)""".stripMargin,
     "q22_rare_tokens" ->
       s"""WITH m AS (SELECT mention_id AS id, name FROM $M),
          |n AS (SELECT m.id, d.pre_proc FROM m JOIN $MEMO d USING (name)),

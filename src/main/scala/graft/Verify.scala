@@ -73,6 +73,15 @@ object Verify {
         .withColumn("pcode",
           graft.text.LegacyVariants.permutation_score(col("pre_a"), col("pre_b")))
         .select("id_a", "id_b", "pcode"))
+    // legacy merge variants per DISTINCT pre_proc (the scalar core is
+    // golden-tested; committing the memo lets DuckDB verify q21's
+    // distinct-memo join-back skeleton relationally)
+    dump("_input_variants")(
+      memo.select(col("pre_proc")).distinct()
+        .withColumn("merged2",
+          graft.text.LegacyVariants.first_two_merged(col("pre_proc")))
+        .withColumn("merged3",
+          graft.text.LegacyVariants.first_three_merged(col("pre_proc"))))
     dump("_input_persondict") {
       import spark.implicits._
       (graft.text.Dictionaries.firstNames ++ graft.text.Dictionaries.surNames)
