@@ -315,6 +315,20 @@ object SparkEntry {
         .select(col("id").cast("long").as("id"), col("component").cast("long").as("component"))
     }),
 
+    "q29_cc_star" -> ((s, dir) => {
+      // same clustering as q18 via the alternating large-star/
+      // small-star algorithm (O(log d) rounds — the chain-heavy-graph
+      // scale path beside min-label); oracled against the identical
+      // recursive CTE
+      val o = s.read.parquet(t(dir, "orders")).where(col("o_custkey") % 10 === 3)
+      val l = s.read.parquet(t(dir, "lineitem"))
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst")).distinct()
+      ConnectedComponents.runStar(edges)
+        .select(col("id").cast("long").as("id"), col("component").cast("long").as("component"))
+    }),
+
     // ---- legacy-matcher operators (coname.py re-expressed) ----
     "er_permutation" -> ((s, dir) => {
       // coname.py:120-144 permutation matching as a scoring path:
@@ -672,6 +686,21 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
         |WHERE rn <= 10""".stripMargin,
+    "q29_cc_star" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 10 = 3
+        |), sym AS (
+        |  SELECT a, b FROM e UNION SELECT b, a FROM e
+        |), reach AS (
+        |  SELECT a AS id, b AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |CAST(LEAST(id, MIN(r)) AS BIGINT) AS component
+        |FROM reach GROUP BY id""".stripMargin,
     "q18_cc_copurchase" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b

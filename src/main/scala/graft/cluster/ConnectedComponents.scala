@@ -96,6 +96,89 @@ object ConnectedComponents {
     labels
   }
 
+  /** Alternating large-star / small-star connected components
+    * (the two-phase family of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SOCC 2014): converges in O(log d)
+    * rounds where min-label propagation needs O(d) — the upgrade path
+    * [[run]]'s scaladoc documents for CHAIN-heavy graphs. ER merge
+    * graphs are dense near-cliques with tiny diameter, so min-label
+    * (one cheap join per round against a pre-partitioned edge table)
+    * stays the default; at web scale a pathological chain component
+    * (e.g. near-duplicate drift across a crawl) makes this the right
+    * algorithm — a 512-node path converges in ~8 alternating rounds
+    * vs 256 label-propagation rounds (spec-demonstrated).
+    *
+    * Per round: large-star links every larger neighbor of v to
+    * min(Γ(v) ∪ {v}); small-star links v and its smaller neighbors to
+    * that min. Both are groupBy+join over the edge list, checkpointed
+    * per round; fixpoint detected via an (count, hash-sum) checksum —
+    * the output equivalence is what the spec asserts, the checksum
+    * only bounds rounds.
+    *
+    * @return (id, component) for every vertex in the edge list,
+    *         component = min vertex id — identical to [[run]]. */
+  def runStar(edges0: DataFrame, maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame =
+    runStarCounted(edges0, maxIter, reliable)._1
+
+  /** [[runStar]] plus the number of alternating rounds taken (for
+    * specs/monitoring). */
+  private[graft] def runStarCounted(edges0: DataFrame, maxIter: Int = 50,
+      reliable: Boolean = false): (DataFrame, Int) = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    def ck(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(xxhash64($"src", $"dst").cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    // large-star(v): m = min(Γ(v) ∪ {v}); emit (u, m) ∀ u ∈ Γ(v), u > v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      val mins = sym.groupBy($"src").agg(min($"dst").as("md"))
+        .select($"src", least($"src", $"md").as("m"))
+      sym.join(mins, Seq("src"))
+        .where($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .where($"src" =!= $"dst")
+        .distinct()
+    }
+    // small-star(v): over edges directed large→small, m = min of v's
+    // smaller neighbors; link v and each smaller neighbor to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest($"src", $"dst").as("src"),
+        least($"src", $"dst").as("dst"))
+      val mins = dir.groupBy($"src").agg(min($"dst").as("m"))
+      val links = dir.join(mins, Seq("src"))
+        .where($"dst" =!= $"m")
+        .select($"dst".as("src"), $"m".as("dst"))
+      links.union(mins.select($"src", $"m".as("dst")))
+        .where($"src" =!= $"dst")
+        .distinct()
+    }
+    var e = ck(edges0.toDF("src", "dst").where($"src" =!= $"dst").distinct())
+    var prevCk = checksum(e)
+    var iter = 0
+    var converged = prevCk._1 == 0L
+    while (iter < maxIter && !converged) {
+      val next = ck(smallStar(largeStar(e)))
+      val s = checksum(next)
+      converged = s == prevCk
+      prevCk = s
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    // fixpoint is a star forest: every edge is (node, componentMin).
+    // groupBy-min instead of trusting the star property blindly.
+    val labels = e.select($"src".as("id"), $"dst".as("component"))
+      .union(e.select($"dst".as("id"), $"dst".as("component")))
+      .groupBy($"id").agg(min($"component").as("component"))
+    (labels, iter)
+  }
+
   /** Hub-degree pruning — the standard mitigation for transitive
     * over-merge: drop every edge incident to a vertex whose degree
     * exceeds `maxDegree` (such "hub" names connect to implausibly many
