@@ -210,12 +210,16 @@ object ConnectedComponents {
   }
 
   /** Cluster ids for every vertex in `vertices` (single id column);
-    * vertices absent from the edge list map to themselves. */
+    * vertices absent from the edge list map to themselves.
+    * `star = true` swaps in [[runStar]] (label-identical; see its
+    * scaladoc for when that trade is right). */
   def assignAll(edges: DataFrame, vertices: DataFrame,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, star: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val assigned = run(edges, reliable = reliable)
+    val assigned =
+      if (star) runStar(edges, reliable = reliable)
+      else run(edges, reliable = reliable)
     vertices.toDF("id")
       .join(assigned, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))

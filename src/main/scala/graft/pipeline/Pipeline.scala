@@ -76,7 +76,15 @@ object Pipeline {
       // shuffle joins keyed on id/pre_proc and the cascade fan-out
       // repartition moves to the join output. Plan-only ⇒ excluded
       // from `hash`.
-      broadcastNames: Boolean = true) {
+      broadcastNames: Boolean = true,
+      // clustering algorithm: `false` (default) = min-label
+      // propagation — right for ER merge graphs (dense near-cliques,
+      // tiny diameter; one cheap label-table join per round). `true` =
+      // alternating large-star/small-star (O(log d) rounds) for
+      // corpora whose merge graphs grow long chains (near-duplicate
+      // drift across a crawl). Labels identical either way (spec) ⇒
+      // excluded from `hash`.
+      starCc: Boolean = false) {
     def hash: String = Lineage.sha("v4", cutoff.toString, removePeople.toString,
       maxBlockSize.toString, runawayBlockSize.toString, ccMaxIter.toString,
       postFilterPeople.toString, maxHubDegree.toString)
@@ -501,7 +509,8 @@ object Pipeline {
     cfg.reliableCheckpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     ConnectedComponents.assignAll(
       edges.select(col("id_a"), col("id_b")), vertices,
-      reliable = cfg.reliableCheckpointDir.isDefined)
+      reliable = cfg.reliableCheckpointDir.isDefined,
+      star = cfg.starCc)
   }
 
   /** Full pages → clusters dataflow. The normalized-names and edge

@@ -212,6 +212,18 @@ class PipelineSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("starCc=true (large/small-star clustering) is algorithm-only: output identical") {
+    // the chain-heavy-corpus algorithm switch must change round
+    // complexity, never labels — endToEnd-level twin of StarCcSpec's
+    // graph-level equivalence
+    import spark.implicits._
+    val a = Pipeline.endToEnd(pages)
+      .select("mention_id", "component").as[(Long, Long)].collect().toSet
+    val b = Pipeline.endToEnd(pages, Pipeline.Config(starCc = true))
+      .select("mention_id", "component").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("reliable checkpointing at stress scale: clusters identical to localCheckpoint") {
     // VERDICT r3 task 6: the cluster-default reliable-checkpoint path,
     // exercised beyond unit size — 2400 mentions through the full
