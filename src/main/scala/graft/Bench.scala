@@ -328,6 +328,30 @@ object Bench {
         SparkSession.clearDefaultSession()
       }
     }
+    // pre-touch the pair table into the page cache (~0.5 GB, one
+    // sequential pass): /tmp is disk-backed here, and a preceding
+    // all-core phase (the driver's Verify) can evict it — then the
+    // FIRST pair's runs pay cold-disk I/O the later pairs don't, a
+    // between-pair asymmetry the adjacent-ratio design cannot cancel
+    // (observed: validation run5 pair 1 read eff 0.729 vs 0.97 for
+    // the cache-warm pairs). The metric is scoring throughput, not
+    // local-disk cold reads; warming makes every pair uniform.
+    {
+      val t0 = System.nanoTime()
+      val buf = new Array[Byte](1 << 20)
+      var bytes = 0L
+      java.nio.file.Files.list(java.nio.file.Paths.get(candPath)).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val in = java.nio.file.Files.newInputStream(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+      System.err.println(f"[bench] page-cache warm: ${bytes / 1e6}%.0f MB " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     // caps sized so the worst case (cold /tmp → table build + a fully
     // throttled start + both caps binding) still fits the driver's
     // bench budget with the headline phase intact
