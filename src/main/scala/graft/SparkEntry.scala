@@ -398,6 +398,8 @@ object SparkEntry {
   private val SIMH = "read_parquet('__OUTDIR__/_input_simhash/*.parquet')"
   private val SRP = "read_parquet('__OUTDIR__/_input_srp/*.parquet')"
   private val KEYM = "read_parquet('__OUTDIR__/_input_keyed_main/*.parquet')"
+  private val TEXTF = "read_parquet('__OUTDIR__/_input_textfeat/*.parquet')"
+  private val MFEAT = "read_parquet('__OUTDIR__/_input_media_feat/*.parquet')"
   private val KEYB = "read_parquet('__OUTDIR__/_input_keyed_base/*.parquet')"
   private val VAR = "read_parquet('__OUTDIR__/_input_variants/*.parquet')"
 
@@ -609,6 +611,16 @@ object SparkEntry {
         |CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
         |CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words
         |FROM documents""".stripMargin,
+    "q14_lang_quality" ->
+      s"""SELECT d.doc_id, f.lang_pred, f.n_tokens_est, f.fp64, f.simhash
+         |FROM documents d JOIN $TEXTF f USING (text)""".stripMargin,
+    "q20_media_features" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+         |ELSE 'wav' END AS format,
+         |f.width, f.height
+         |FROM documents JOIN $MFEAT f ON f.media_id = doc_id""".stripMargin,
     "q13_token_df" ->
       """SELECT word, COUNT(*) AS df FROM
         |(SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)

@@ -93,6 +93,26 @@ object Verify {
     dump("_input_srp")(DedupOps.srpCodeTable(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
       bits = 8, tables = 2))
+    // per-DISTINCT-text feature memo (the scalar expressions are
+    // spec/golden-tested; committing the memo lets DuckDB verify q14's
+    // per-document projection as a distinct-memo join-back skeleton —
+    // the same method as q21's `_input_variants`)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    dump("_input_textfeat")(
+      docs.select(col("text")).distinct()
+        .withColumn("lang_pred", graft.ops.TextOps.lang_id(col("text")))
+        .withColumn("n_tokens_est", graft.ops.TextOps.token_estimate(col("text")))
+        .withColumn("fp64", graft.ops.TextOps.fingerprint64(col("text")))
+        .withColumn("simhash", graft.ops.TextOps.simhash64(col("text"))))
+    // fake-decoder feature memo keyed on media_id: the oracle
+    // re-derives byte_len/format relationally from `documents` and
+    // joins width/height from this memo — verifying q20's in-plan
+    // mapPartitions plumbing (row multiplicity + metadata consistency);
+    // the decode itself stays the clearly-labeled deterministic stub
+    dump("_input_media_feat")(
+      graft.ops.MediaOps.extractFeatures(
+        graft.ops.MediaOps.mediaTable(docs, "doc_id", "text"))
+        .select("media_id", "width", "height"))
 
     // ---- query results ----
     SparkEntry.queries.foreach { case (name, fn) =>
