@@ -48,6 +48,19 @@ class StarCcSpec extends SparkSuite {
       Seq.empty[(Long, Long)].toDF("src", "dst"))).isEmpty)
   }
 
+  test("reliable-checkpoint mode: labels identical to localCheckpoint") {
+    // the cluster default (fault-tolerant checkpoint()) must be a
+    // placement-only choice, like ConnectedComponents.run's
+    val dir = java.nio.file.Files.createTempDirectory("starcc_ck").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val local = labelsOf(ConnectedComponents.runStar(edges))
+    val rel = labelsOf(ConnectedComponents.runStar(edges, reliable = true))
+    assert(local == rel)
+  }
+
   test("512-node path: O(log d) rounds where min-label needs O(d)") {
     // the chain shape is exactly where min-label's round count equals
     // the eccentricity (~256 here, far beyond its default maxIter);
