@@ -12,8 +12,8 @@ class EntrySmokeSpec extends SparkSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q14/q20 are the two sanctioned no_oracle scalar projections
-    assert(unoracled == Set("q14_lang_quality", "q20_media_features"),
-      s"unexpected no-oracle queries: $unoracled")
+    // since round 4 every driver query has an oracle (q14/q20/q21 via
+    // the committed-memo method)
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 }
