@@ -93,6 +93,14 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // labels from a non-fixpoint state under-merge silently — the one
+    // failure mode a 10^12-edge run must never hide. (ER components
+    // converge in a handful of rounds; hitting the bound means the
+    // graph has a chain shape runStar handles in O(log d).)
+    if (!converged)
+      System.err.println(s"[graft-cc] WARNING: min-label CC hit maxIter=$maxIter " +
+        "without converging; labels may be under-merged — raise maxIter or " +
+        "use runStar (Config.starCc)")
     labels
   }
 
@@ -171,6 +179,9 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft-cc] WARNING: star CC hit maxIter=$maxIter " +
+        "without converging; labels may be under-merged — raise maxIter")
     // fixpoint is a star forest: every edge is (node, componentMin).
     // groupBy-min instead of trusting the star property blindly.
     val labels = e.select($"src".as("id"), $"dst".as("component"))
