@@ -274,7 +274,7 @@ object Bench {
       // inter-pair cool-down can stay short: each pair ENDS with ~40s
       // of 2-core (c2) or brief 8-core load — on a 32-core box that is
       // itself near-idle time for most of the chip
-      if (attempts > 1) Thread.sleep(8000)
+      if (attempts > 1) Thread.sleep(4000)
       val smallFirst = attempts % 2 == 1
       val (ts, tb) =
         if (smallFirst) {
@@ -310,6 +310,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // Emit the one-line JSON artifact exactly once — from the normal
+    // end of main OR from a shutdown hook. If a driver-side timeout
+    // SIGTERMs the JVM mid-bench (observed in a rehearsal: killed
+    // during the LAST query), the hook still prints the scaling
+    // numbers and every completed query instead of losing the whole
+    // artifact.
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(): Unit = if (emitted.compareAndSet(false, true)) {
+      try {
+        val snap = results.toVector
+        val qs = snap.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        val total = snap.filterNot(kv =>
+          kv._1.startsWith("pairs_per") || kv._1.startsWith("scaling")).map(_._2).sum
+        println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+          s""""scaling_protocol":"$protocolNote","sf":"$sfDir"}""")
+        System.out.flush()
+      } catch { case _: Throwable => () }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
 
     // part A: the N vs 4N scaling pairs, gated on a MEASURED cool VM.
     // The driver runs the all-core Verify right before Bench, so the
@@ -354,10 +374,18 @@ object Bench {
     }
     // caps sized so the worst case (cold /tmp → table build + a fully
     // throttled start + both caps binding) still fits the driver's
-    // bench budget with the headline phase intact
-    coolWait("pre-scaling", capSecs = 75)
+    // bench budget with the headline phase intact. The pre-scaling cap
+    // is deliberately SHORT: a driver-sequence rehearsal (Verify at
+    // sf0.01 immediately before Bench — artifacts run7) showed that
+    // after a multi-minute all-core load the first pair reads ~0.75
+    // regardless of whether the gate waited 30 s or its full 77 s cap
+    // — only the pairs' own low-parallelism runtime sheds that state,
+    // and the median-of-3 absorbs the first pair by design — while the
+    // long wait pushed the whole bench past a plausible driver
+    // timeout (rehearsal killed at 560 s DURING the last query).
+    coolWait("pre-scaling", capSecs = 40)
     runScalingPairs(candPath, results)
-    coolWait("pre-headline", capSecs = 30) // decouple headline from pair load
+    coolWait("pre-headline", capSecs = 15) // decouple headline from pair load
 
     // part B: headline queries. Cheap relational/dedup/ANN queries
     // first — each is sub-second-to-few-seconds and generates little
@@ -398,10 +426,11 @@ object Bench {
       SparkSession.clearDefaultSession()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.filterNot(kv =>
-      kv._1.startsWith("pairs_per") || kv._1.startsWith("scaling")).values.sum
-    val protocol = "two-cluster-size proxy (no real cluster in sandbox): " +
+    emit()
+  }
+
+  private val protocolNote: String =
+    "two-cluster-size proxy (no real cluster in sandbox): " +
       "pair-scoring stage over an identical 21.7M-same-entity-pair parquet table " +
       "(all pairs cascade-scored) in fresh JVMs pinned to N cores " +
       "(taskset 0..N-1, ActiveProcessorCount=N, ParallelGC), N=2 vs 4N=8 - " +
@@ -413,7 +442,4 @@ object Bench {
       "cool-gate - the VM throttles for minutes after sustained all-core " +
       "load); efficiency AND both throughputs = the median-ratio pair's " +
       "tput4N/(4*tputN), tputN, tput4N"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""scaling_protocol":"$protocol","sf":"$sfDir"}""")
-  }
 }
