@@ -49,4 +49,18 @@ object BucketedKeyTable {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
   }
+
+  /** Incremental blocking join: newly crawled keyed mentions against
+    * the standing bucketed corpus. Only the NEW side shuffles (one
+    * Exchange, on `newKeyed`, to match the table's bucket
+    * distribution — spec-asserted); the standing table is read in
+    * place. This is the steady-state candidate-generation cost model:
+    * O(increment), not O(corpus). Returns (id_a = standing id,
+    * id_b = new id) per shared key. */
+  def incrementalJoinPairs(spark: SparkSession, table: String,
+      newKeyed: DataFrame): DataFrame = {
+    val standing = spark.table(table).select(col("key"), col("id").as("id_a"))
+    val fresh = newKeyed.select(col("key"), col("id").as("id_b"))
+    standing.join(fresh, Seq("key")).select("id_a", "id_b")
+  }
 }

@@ -47,6 +47,30 @@ class BucketedJoinSpec extends SparkSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(got == want)
       assert(got.nonEmpty)
+      // incremental join: new data vs the standing bucketed corpus —
+      // exactly ONE exchange, and it is on the NEW side (the plan's
+      // only hashpartitioning is over the fresh relation; the standing
+      // table reads in place). The O(increment)-not-O(corpus)
+      // steady-state cost model, plan-asserted.
+      // materialized flat input: the assertion counts the JOIN's own
+      // exchanges, not whatever lineage computed the increment
+      val fresh = keyed.limit(40).select($"key", ($"id" + 1000000L).as("id"))
+        .localCheckpoint(true)
+      val inc = BucketedKeyTable.incrementalJoinPairs(
+        spark, "graft_keyed_bucketed_test", fresh)
+      val incPlan = inc.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange hashpartitioning".r
+        .findAllIn(incPlan).size
+      assert(nExchanges == 1,
+        s"expected exactly one exchange (new side only):\n$incPlan")
+      val incGot = inc.groupBy("id_a", "id_b").count()
+        .as[(Long, Long, Long)].collect().toSet
+      val incWant = keyed.select($"key", $"id".as("id_a"))
+        .join(fresh.select($"key", $"id".as("id_b")), Seq("key"))
+        .groupBy("id_a", "id_b").count()
+        .as[(Long, Long, Long)].collect().toSet
+      assert(incGot == incWant)
+      assert(incGot.nonEmpty)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_keyed_bucketed_test")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
