@@ -21,6 +21,20 @@ import graft.pipeline.Pipeline
   * are substituted with the real outDir here.
   */
 object Verify {
+
+  /** The committed fixture dump names. Each has an identity
+    * self-oracle in SparkEntry.oracleSql (so the driver's correctness
+    * artifact carries no `no_oracle` noise rows) — EntrySmokeSpec
+    * keeps the two sets in sync, and [[main]]'s dump() rejects names
+    * missing here. */
+  val fixtureNames: Set[String] = Set(
+    "_input_pages", "_input_mentions", "_input_norm_memo",
+    "_input_keyed", "_input_keyed_main", "_input_keyed_base",
+    "_input_base", "_input_cand_codes", "_input_pair_codes",
+    "_input_match_codes", "_input_perm_codes", "_input_variants",
+    "_input_persondict", "_input_mh_bands", "_input_simhash",
+    "_input_srp", "_input_textfeat", "_input_media_feat")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir0) = args
     val outDir = new java.io.File(outDir0).getAbsolutePath
@@ -34,11 +48,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    def dump(name: String)(df: => DataFrame): Unit =
+    def dump(name: String)(df: => DataFrame): Unit = {
+      require(fixtureNames(name), s"fixture $name missing from Verify.fixtureNames")
       try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] dump $name failed: ${e.getMessage}")
       }
+    }
 
     // ---- committed oracle-input tables (deterministic engine state) ----
     val pages = SparkEntry.pagesFor(spark, sfDir)

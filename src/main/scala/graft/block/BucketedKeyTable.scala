@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object BucketedKeyTable {
 
-  /** Persist `keyed` (id, key) bucketed AND sort-ordered by `key` as
+  /** Persist `keyed` (id, key, …) bucketed AND sort-ordered by `key` as
     * an external table at `path`. `buckets` should match the planned
     * join parallelism (it caps the join's task count). */
   def write(keyed: DataFrame, table: String, buckets: Int,
@@ -35,6 +35,27 @@ object BucketedKeyTable {
       .bucketBy(buckets, "key").sortBy("key")
       .option("path", path)
       .saveAsTable(table)
+
+  /** Make `table` available in this session, building it at most once
+    * per `path` ACROSS sessions: bucket metadata lives in the catalog
+    * (in-memory here, Hive/Iceberg in production), so a fresh session
+    * re-REGISTERS the committed bucketed files with a CREATE TABLE …
+    * CLUSTERED BY DDL instead of re-shuffling the corpus — the bucket
+    * ids are in the committed file names, so the registered table is
+    * exchange-free-joinable exactly like the original. Callers bind
+    * `path` to the code fingerprint (Lineage.codeFingerprint) so a
+    * behavior-changing edit rebuilds instead of resuming stale state. */
+  def ensure(spark: SparkSession, table: String, buckets: Int,
+      path: String)(build: => DataFrame): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($schemaDdl) USING parquet
+           |CLUSTERED BY (key) SORTED BY (key) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    } else write(build, table, buckets, path)
+  }
 
   /** Blocking self-join over the bucketed table: candidate id pairs
     * (id_a < id_b), one row per shared key — the same shape as the

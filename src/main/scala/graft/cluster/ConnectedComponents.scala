@@ -173,7 +173,15 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       val next = ck(smallStar(largeStar(e)))
       val s = checksum(next)
-      converged = s == prevCk
+      // the (count, hash-sum) checksum is probabilistic — a collision
+      // would stop a round early and silently return under-merged
+      // labels. When it first matches, CONFIRM with one exact check:
+      // equal counts + empty one-sided anti-join ⇔ set equality (both
+      // sides are distinct edge sets). The anti-join runs on two
+      // already-checkpointed fixpoint-sized tables, once per run — a
+      // collision keeps iterating instead of under-merging.
+      converged = s == prevCk &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
       prevCk = s
       e.unpersist()
       e = next
@@ -182,6 +190,8 @@ object ConnectedComponents {
     if (!converged)
       System.err.println(s"[graft-cc] WARNING: star CC hit maxIter=$maxIter " +
         "without converging; labels may be under-merged — raise maxIter")
+    else
+      System.err.println(s"[graft-cc] star CC converged in $iter alternating rounds")
     // fixpoint is a star forest: every edge is (node, componentMin).
     // groupBy-min instead of trusting the star property blindly.
     val labels = e.select($"src".as("id"), $"dst".as("component"))
@@ -195,17 +205,25 @@ object ConnectedComponents {
     * exceeds `maxDegree` (such "hub" names connect to implausibly many
     * distinct mentions and chain unrelated entities through
     * transitivity; they fall out as singletons for human review).
-    * Degree census is one agg; hub set is small by construction →
-    * broadcast anti-joins, no extra shuffle of the edge list. */
-  def pruneHubs(edges: DataFrame, maxDegree: Int): DataFrame = {
+    * Degree census is one agg. `broadcastHubs = true` (default) pins
+    * broadcast anti-joins — right while |E|/maxDegree hubs fit the
+    * broadcast envelope; at the 10^12-edge scale the hub COUNT can
+    * outgrow it, so the same seam that turns off name broadcasts
+    * (Pipeline.Config.broadcastNames) passes `false` here and the
+    * anti-joins run as shuffle joins — consistent with the rest of the
+    * broadcast-off scale story. */
+  def pruneHubs(edges: DataFrame, maxDegree: Int,
+      broadcastHubs: Boolean = true): DataFrame = {
     import edges.sparkSession.implicits._
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastHubs) broadcast(df) else df
     val e = edges.toDF("src", "dst")
     val hubs = e.select($"src".as("id")).union(e.select($"dst".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("deg"))
       .where($"deg" > maxDegree)
       .select($"id")
-    e.join(broadcast(hubs.select($"id".as("src"))), Seq("src"), "left_anti")
-      .join(broadcast(hubs.select($"id".as("dst"))), Seq("dst"), "left_anti")
+    e.join(maybeBroadcast(hubs.select($"id".as("src"))), Seq("src"), "left_anti")
+      .join(maybeBroadcast(hubs.select($"id".as("dst"))), Seq("dst"), "left_anti")
       .select($"src", $"dst")
   }
 

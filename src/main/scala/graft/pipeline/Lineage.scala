@@ -29,6 +29,56 @@ object Lineage {
     md.digest().take(12).map("%02x".format(_)).mkString
   }
 
+  /** Fingerprint of the compiled engine itself: SHA over every class
+    * file under `graft/` on the classpath (directory classpaths in
+    * dev, jar entries in a deployed assembly), sorted by name. Folded into
+    * every durable stage/table root so a behavior-changing code edit
+    * can never silently resume stale committed stages — the manual
+    * version string in Config.hash guarded only edits someone
+    * remembered to bump. Computed once per JVM (~10 ms locally). */
+  lazy val codeFingerprint: String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val entries = scala.collection.mutable.SortedMap[String, Array[Byte]]()
+    try {
+      val urls = getClass.getClassLoader.getResources("graft")
+      while (urls.hasMoreElements) {
+        val url = urls.nextElement()
+        url.getProtocol match {
+          case "file" =>
+            val root = Paths.get(url.toURI)
+            val stream = Files.walk(root)
+            try stream.forEach { p =>
+              if (p.toString.endsWith(".class") && Files.isRegularFile(p))
+                entries(s"graft/${root.relativize(p)}") = Files.readAllBytes(p)
+            } finally stream.close()
+          case "jar" =>
+            val conn = url.openConnection()
+              .asInstanceOf[java.net.JarURLConnection]
+            val jar = conn.getJarFile
+            val es = jar.entries()
+            while (es.hasMoreElements) {
+              val e = es.nextElement()
+              if (e.getName.startsWith("graft/") && e.getName.endsWith(".class")) {
+                val in = jar.getInputStream(e)
+                try entries(e.getName) = in.readAllBytes()
+                finally in.close()
+              }
+            }
+          case _ => ()
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[graft-lineage] code fingerprint failed: ${e.getMessage}")
+    }
+    if (entries.isEmpty) "nocode"
+    else {
+      entries.foreach { case (name, bytes) =>
+        md.update(name.getBytes(StandardCharsets.UTF_8)); md.update(bytes)
+      }
+      md.digest().take(8).map("%02x".format(_)).mkString
+    }
+  }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""

@@ -396,6 +396,66 @@ object Pipeline {
       cacheKeyed = cacheKeyed, earlyFilter = true), main, base, cfg)
   }
 
+  /** Steady-state incremental ER (the reference's production flow:
+    * match_pair.py:47-58 streams chunks against matcher.py:428-430's
+    * FIXED base universe): accepted edges of one crawl increment
+    * against a STANDING corpus persisted as a bucketed blocking-key
+    * table ([[graft.block.BucketedKeyTable]]).
+    *
+    * Why this is the 100 TB shape: candidate generation re-runs on
+    * every crawl increment, and in the ordinary two-sided path the
+    * dominant shuffle is the hash exchange of the CORPUS keyed table.
+    * Here the corpus was bucketed by `key` once at write time, so
+    *  - the runaway-key census is exchange-free (the bucketed scan
+    *    already delivers hash-partitioned keys),
+    *  - the blocking join shuffles ONLY the increment (one exchange,
+    *    to match the table's bucket distribution),
+    *  - the prefilter is FUSED before the pair-dedup exchange, so the
+    *    dedup traffic tracks accepted density (see
+    *    [[edgeCandidatesSelf]]).
+    * Steady-state cost: O(increment), not O(corpus) —
+    * IncrementalErSpec pins the plan shape and the bit-identity of the
+    * edges against [[edgeCandidatesTwoSided]].
+    *
+    * Kept deliberately un-salted: increments are bounded by crawl
+    * cadence, and a pathologically hot increment can fall back to
+    * [[candidatePairsTwoSided]]'s 2-D grid for that batch. Runaway
+    * STANDING keys (census > runawayBlockSize) are dropped via a
+    * broadcast anti-join, mirroring the two-sided path's base-side
+    * runaway drop bit-for-bit. */
+  def incrementalEdges(spark: SparkSession, standingTable: String,
+      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame =
+    scoreCandidates(
+      incrementalCandidates(spark, standingTable, main, baseNorm, cfg), cfg)
+
+  /** The candidate half of [[incrementalEdges]] — hydrated
+    * (id_a, id_b, pre_a, pre_b, nos_a, nos_b) prefilter-passing pairs
+    * of increment × standing-table rows. Output is bit-identical to
+    * [[edgeCandidatesTwoSided]](main, base) when the standing table
+    * holds `withBlockingKeys(baseNorm)`; only the physical plan
+    * differs (standing side exchange-free). `main` is consumed twice
+    * (key explode + hydration probe) — callers persist it. */
+  def incrementalCandidates(spark: SparkSession, standingTable: String,
+      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame = {
+    val standing = spark.table(standingTable)
+    // runaway census over the bucketed scan: groupBy(key) is satisfied
+    // by the table's bucket distribution — no exchange
+    val runaway = standing.groupBy("key")
+      .agg(count(lit(1)).as("block_size"))
+      .where(col("block_size") > cfg.runawayBlockSize)
+      .select("key")
+    val b = standing.join(broadcast(runaway), Seq("key"), "left_anti")
+      .select(col("key"), col("id").as("id_b"), col("nosuffix").as("nos_b"))
+    val a = withBlockingKeys(main)
+      .select(col("key"), col("id").as("id_a"), col("nosuffix").as("nos_a"))
+    val pairs = b.join(a, Seq("key"))
+      .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+      .select("id_a", "id_b")
+      .distinct()
+      .observe("graft_incremental_pairs", count(lit(1)).as("pairs_deduped"))
+    attachNames2(pairs, main, baseNorm, cfg)
+  }
+
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —
     * census on BOTH sides (at web scale the MAIN side is the huge
     * mention table, so main-hot keys are the norm, not the exception;
@@ -609,7 +669,8 @@ object Pipeline {
     // to name nodes of degree > maxHubDegree before clustering
     val edges = cfg.maxHubDegree match {
       case Some(d) => ConnectedComponents
-        .pruneHubs(edges0.select(col("id_a"), col("id_b")), d)
+        .pruneHubs(edges0.select(col("id_a"), col("id_b")), d,
+          broadcastHubs = cfg.broadcastNames)
         .toDF("id_a", "id_b")
       case None => edges0
     }
@@ -673,7 +734,8 @@ object Pipeline {
       val keyed = withBlockingKeys(names).select(col("id"), col("key"), col("w"))
       val prunedEdges = cfg.maxHubDegree match {
         case Some(d) => ConnectedComponents
-          .pruneHubs(edges.select(col("id_a"), col("id_b")), d)
+          .pruneHubs(edges.select(col("id_a"), col("id_b")), d,
+            broadcastHubs = cfg.broadcastNames)
           .toDF("id_a", "id_b")
         case None => edges
       }

@@ -118,6 +118,40 @@ object StreamingPipeline {
       .start()
   }
 
+  /** [[incrementalEdges]] over a STANDING corpus persisted as a
+    * bucketed blocking-key table (graft.block.BucketedKeyTable) — the
+    * restart-durable steady-state flow. The in-memory variant above
+    * persists the keyed universe per query lifetime, which is fine
+    * locally but lost on restart (the first batch after recovery pays
+    * a full corpus re-key + re-shuffle); here the keyed corpus lives
+    * ON DISK with its bucket layout, so every micro-batch — including
+    * the first after a crash — shuffles only the increment
+    * (Pipeline.incrementalCandidates; IncrementalErSpec pins the
+    * plan). `baseNorm` is still needed for name hydration of accepted
+    * pairs; it is cheap to recompute relative to the keyed explode and
+    * is persisted for the query lifetime. */
+  def incrementalEdgesBucketed(spark: SparkSession, pagesDir: String,
+      standingTable: String, baseNorm: DataFrame, edgesDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    baseNorm.persist()
+    spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val main = graft.pipeline.Pipeline.normalize(batchMentions(batch)).persist()
+        try graft.pipeline.Pipeline
+          .incrementalEdges(spark, standingTable, main, baseNorm)
+          .select("id_a", "id_b", "code", "score")
+          .write.mode("overwrite").parquet(s"$edgesDir/batch=$batchId")
+        finally main.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Stateful first-occurrence dedup by normalized name. */
   def dedupedMentions(spark: SparkSession, mentions: DataFrame,
       stateTimeoutMs: Long = 3600000L): DataFrame = {

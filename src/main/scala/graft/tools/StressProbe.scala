@@ -9,13 +9,26 @@ import graft.pipeline.Pipeline
 /** Dev scale probe: the full pages → clusters dataflow at N× the bench
   * scale, reporting stage timings, candidate/edge volumes, and
   * ground-truth pairwise precision/recall (mention urls encode the
-  * entity id). Usage: runMain graft.tools.StressProbe <nEntities> */
+  * entity id).
+  * Usage: runMain graft.tools.StressProbe <nEntities> [runaway]
+  *        [nobroadcast] [star] [hub=N]
+  *  - nobroadcast: Config.broadcastNames=false — the 10^12-document
+  *    hydration configuration (shuffle joins instead of name
+  *    broadcasts); output must be identical, this measures its wall;
+  *  - star: cluster with the alternating large/small-star CC
+  *    (rounds logged by runStar);
+  *  - hub=N: Config.maxHubDegree=N — hub pruning in the main flow. */
 object StressProbe {
   def main(args: Array[String]): Unit = {
     val nEnt = args.headOption.map(_.toLong).getOrElse(80000L)
     // optional 2nd arg: runawayBlockSize (200 = round-2-style drop-all-
     // hot-blocks capping, for the recall/cost tradeoff table)
     val runaway = args.lift(1).map(_.toInt).getOrElse(4000)
+    val flags = args.drop(1).toSet
+    val noBroadcast = flags.contains("nobroadcast")
+    val star = flags.contains("star")
+    val hub = flags.collectFirst { case f if f.startsWith("hub=") =>
+      f.stripPrefix("hub=").toInt }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
@@ -39,12 +52,24 @@ object StressProbe {
       mentions.select(col("mention_id").as("id"), col("name"))).persist()
     println(s"STRESS norm ${norm.count()}")
     mark("normalize")
-    val cfg = Pipeline.Config(runawayBlockSize = runaway)
+    val cfg = Pipeline.Config(runawayBlockSize = runaway,
+      broadcastNames = !noBroadcast, starCc = star, maxHubDegree = hub)
+    println(s"STRESS config broadcastNames=${cfg.broadcastNames} " +
+      s"starCc=${cfg.starCc} maxHubDegree=${cfg.maxHubDegree} runaway=$runaway")
     val cand = Pipeline.edgeCandidatesSelf(norm, cfg)
-    val edges = Pipeline.scoreCandidates(cand).persist()
-    println(s"STRESS edges ${edges.count()}")
+    val edges0 = Pipeline.scoreCandidates(cand, cfg).persist()
+    println(s"STRESS edges ${edges0.count()}")
     mark("score")
-    val clusters = Pipeline.cluster(edges, norm.select("id"))
+    val edges = cfg.maxHubDegree match {
+      case Some(d) => graft.cluster.ConnectedComponents
+        .pruneHubs(edges0.select(col("id_a"), col("id_b")), d,
+          broadcastHubs = cfg.broadcastNames)
+        .toDF("id_a", "id_b").persist()
+      case None => edges0
+    }
+    if (cfg.maxHubDegree.isDefined)
+      println(s"STRESS edges_hubpruned ${edges.count()}")
+    val clusters = Pipeline.cluster(edges, norm.select("id"), cfg)
     println(s"STRESS clustered ${clusters.count()}")
     mark("cluster")
     graft.cluster.ConnectedComponents.componentStats(clusters)
@@ -72,8 +97,10 @@ object StressProbe {
     pr("pairwise", clusters)
     // hub-pruned variant: the production over-merge mitigation
     val pruned = graft.cluster.ConnectedComponents.pruneHubs(
-      edges.select(col("id_a"), col("id_b")), maxDegree = 20)
-    val clusters2 = Pipeline.cluster(pruned.toDF("id_a", "id_b"), norm.select("id"))
+      edges.select(col("id_a"), col("id_b")), maxDegree = 20,
+      broadcastHubs = cfg.broadcastNames)
+    val clusters2 = Pipeline.cluster(pruned.toDF("id_a", "id_b"),
+      norm.select("id"), cfg)
     pr("pairwise-hubpruned(20)", clusters2)
     mark("total")
     spark.stop()

@@ -57,6 +57,47 @@ class StreamingSpec extends SparkSuite {
     assert(after == streamed.size, "restart must not reprocess committed batches")
   }
 
+  test("incremental ER over the bucketed standing table ≡ batch; restart re-registers, no reprocess") {
+    import graft.block.BucketedKeyTable
+    import graft.pipeline.Pipeline
+    val pagesDir = Files.createTempDirectory("graft_binc_pages").toString
+    val edgesDir = Files.createTempDirectory("graft_binc_edges").toString + "/e"
+    val ckptDir = Files.createTempDirectory("graft_binc_ckpt").toString
+    val keyedDir = Files.createTempDirectory("graft_binc_keyed").toString
+    val nEnt = 40L
+    PagesGen.generate(spark, nEnt, 4).write.mode("overwrite").parquet(pagesDir)
+    val base = Pipeline.normalize(PagesGen.baseUniverse(spark, nEnt))
+    try {
+      BucketedKeyTable.ensure(spark, "graft_stream_standing", 8, keyedDir) {
+        Pipeline.withBlockingKeys(base).select("id", "key", "nosuffix")
+      }
+      val q = StreamingPipeline.incrementalEdgesBucketed(
+        spark, pagesDir, "graft_stream_standing", base, edgesDir, ckptDir)
+      q.awaitTermination(180000)
+      val streamed = spark.read.parquet(edgesDir)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+      val mentions = Pipeline.extractMentions(spark.read.parquet(pagesDir))
+      val main = Pipeline.normalize(mentions.select($"mention_id".as("id"), $"name"))
+      val batch = Pipeline.scoreCandidates(Pipeline.candidatesTwoSided(main, base))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+
+      // restart as a fresh session would: the catalog entry is gone but
+      // the committed bucketed files are not — ensure() re-registers
+      // (never rebuilds), and the checkpoint skips committed batches
+      spark.sql("DROP TABLE graft_stream_standing")
+      BucketedKeyTable.ensure(spark, "graft_stream_standing", 8, keyedDir) {
+        fail("restart must re-register the committed standing table, not rebuild")
+      }
+      val q2 = StreamingPipeline.incrementalEdgesBucketed(
+        spark, pagesDir, "graft_stream_standing", base, edgesDir, ckptDir)
+      q2.awaitTermination(120000)
+      assert(spark.read.parquet(edgesDir).count() == streamed.size,
+        "restart must not reprocess committed batches")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_stream_standing")
+  }
+
   test("stateful dedup emits one first_url per distinct normalized name") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     PagesGen.generate(spark, 30, 4).write.mode("overwrite").parquet(dir)
