@@ -424,9 +424,31 @@ object Pipeline {
     * broadcast anti-join, mirroring the two-sided path's base-side
     * runaway drop bit-for-bit. */
   def incrementalEdges(spark: SparkSession, standingTable: String,
-      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame =
+      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame = {
+    // runtime plan guard (always on — planning is driver-side and
+    // cheap): the whole point of the standing bucketed table is that
+    // the corpus never re-shuffles, so plan drift must fail the run —
+    // in Verify/Bench that fails the round artifact, not just a spec.
+    // The probe is a census-only plan over JUST the standing table: if
+    // its groupBy(key) is satisfied by the bucket layout (zero hash
+    // exchanges), EnsureRequirements satisfies the blocking join's
+    // standing side from the same distribution; if the table lost its
+    // bucket metadata (bad re-register, bucketed scans disabled), the
+    // probe plans an exchange and we fail fast. The full candidate
+    // plan is NOT a usable probe: the increment side's cached lineage
+    // (normalize memo) legitimately prints its own O(increment)
+    // exchanges inside the InMemoryRelation text.
+    val censusProbe = spark.table(standingTable)
+      .groupBy("key").agg(count(lit(1)))
+    val nHash = "Exchange hashpartitioning".r
+      .findAllIn(censusProbe.queryExecution.executedPlan.toString).size
+    require(nHash == 0,
+      s"incremental plan drift: standing table '$standingTable' no longer " +
+        s"satisfies groupBy/join from its buckets ($nHash hash exchanges " +
+        "in the census probe plan)")
     scoreCandidates(
       incrementalCandidates(spark, standingTable, main, baseNorm, cfg), cfg)
+  }
 
   /** The candidate half of [[incrementalEdges]] — hydrated
     * (id_a, id_b, pre_a, pre_b, nos_a, nos_b) prefilter-passing pairs

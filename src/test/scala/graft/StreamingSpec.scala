@@ -102,13 +102,27 @@ class StreamingSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_stream2").toString
     PagesGen.generate(spark, 30, 4).write.mode("overwrite").parquet(dir)
     val mentions = StreamingPipeline.streamingMentions(spark, dir)
+    // NOT AvailableNow, and NOT awaitTermination/processAllAvailable:
+    // with ProcessingTimeTimeout timers registered the engine keeps
+    // scheduling micro-batches to evaluate them, so the query never
+    // reaches the settled state either call waits for — and under
+    // AvailableNow's zero-interval trigger that became a busy loop
+    // (jstack: 248 CPU-seconds of empty batch commits). A real
+    // deployment runs exactly this shape: a paced trigger on an
+    // endless query. Poll the sink for the data, then stop.
     val q = StreamingPipeline.dedupedMentions(spark, mentions)
       .writeStream.outputMode("update")
       .format("memory").queryName("dedup")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val rows = spark.sql("SELECT pre_proc, first_url FROM dedup WHERE first_url IS NOT NULL")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    def seen() = spark.sql(
+      "SELECT pre_proc, first_url FROM dedup WHERE first_url IS NOT NULL")
       .as[(String, String)].collect()
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var rows = seen()
+    while (rows.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(500); rows = seen()
+    }
+    q.stop()
     assert(rows.nonEmpty)
     assert(rows.map(_._1).distinct.length == rows.length, "one state row per name")
   }
