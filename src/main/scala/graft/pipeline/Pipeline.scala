@@ -470,12 +470,55 @@ object Pipeline {
       .select(col("key"), col("id").as("id_b"), col("nosuffix").as("nos_b"))
     val a = withBlockingKeys(main)
       .select(col("key"), col("id").as("id_a"), col("nosuffix").as("nos_a"))
-    val pairs = b.join(a, Seq("key"))
-      .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
-      .select("id_a", "id_b")
-      .distinct()
-      .observe("graft_incremental_pairs", count(lit(1)).as("pairs_deduped"))
-    attachNames2(pairs, main, baseNorm, cfg)
+    // hot-increment fallback (closes the "pathologically hot increment
+    // falls back manually" note): a key whose INCREMENT block exceeds
+    // maxBlockSize would land its whole |inc_k| × |standing_k| product
+    // in one bucket task (the standing factor is runaway-bounded, the
+    // increment factor is not). Census the increment driver-side —
+    // O(increment) and tiny — and only when hot keys exist, split the
+    // plan: cold keys keep the exchange-free bucket join; hot keys
+    // route through candidatePairsTwoSided's 2-D grid, shuffling only
+    // those keys' standing rows (≤ hot × runawayBlockSize). With no
+    // hot keys (the steady-state norm) the plan is EXACTLY the
+    // single-join one — no second corpus scan, no empty grid branch.
+    val hotKeys = a.groupBy("key").agg(count(lit(1)).as("bs_m"))
+      .where(col("bs_m") > cfg.maxBlockSize)
+      .select("key").as[String](org.apache.spark.sql.Encoders.STRING)
+      .take(10001)
+    val pairs =
+      if (hotKeys.isEmpty) {
+        b.join(a, Seq("key"))
+          .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+          .select("id_a", "id_b")
+          .distinct()
+      } else if (hotKeys.length > 10000) {
+        // a batch with >10k hot keys is not an increment in any
+        // meaningful sense — escape to the full two-sided path (corpus
+        // subset shuffles; correct, never a single-task product)
+        System.err.println("[graft-inc] WARNING: batch has >10000 hot " +
+          "keys; routing the whole batch through candidatePairsTwoSided")
+        candidatePairsTwoSided(a, b, cfg, cacheKeyed = false,
+          earlyFilter = true)
+      } else {
+        System.err.println(s"[graft-inc] ${hotKeys.length} hot increment " +
+          s"keys (> ${cfg.maxBlockSize} rows); 2-D-grid scoring them " +
+          "against their standing rows")
+        val hot = broadcast(
+          spark.createDataset(hotKeys.toSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("key"))
+        val cold = b.join(a.join(hot, Seq("key"), "left_anti"), Seq("key"))
+          .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+          .select("id_a", "id_b")
+        val gridded = candidatePairsTwoSided(
+          a.join(hot, Seq("key"), "left_semi"),
+          b.join(hot, Seq("key"), "left_semi"),
+          cfg, cacheKeyed = false, earlyFilter = true)
+        cold.unionByName(gridded).distinct()
+      }
+    attachNames2(
+      pairs.observe("graft_incremental_pairs",
+        count(lit(1)).as("pairs_deduped")),
+      main, baseNorm, cfg)
   }
 
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —

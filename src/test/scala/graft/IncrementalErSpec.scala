@@ -90,6 +90,30 @@ class IncrementalErSpec extends SparkSuite {
     }
   }
 
+  test("hot-increment keys route through the 2-D grid with identical edges") {
+    // maxBlockSize=2 makes nearly every increment key "hot": the
+    // fallback must split the plan (cold keys on the bucket join, hot
+    // keys through candidatePairsTwoSided's grid) and still produce
+    // the exact edge set of the one-join path / two-sided reference
+    val (main, base) = corpus()
+    val cfg = Pipeline.Config(maxBlockSize = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_standing_hot").toString
+    try {
+      BucketedKeyTable.ensure(spark, "graft_standing_hot", 8, dir) {
+        Pipeline.withBlockingKeys(base).select("id", "key", "nosuffix")
+      }
+      val got = Pipeline.incrementalEdges(spark, "graft_standing_hot", main, base, cfg)
+        .select("id_a", "id_b", "code", "score")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val want = Pipeline.scoreCandidates(
+          Pipeline.edgeCandidatesTwoSided(main, base, cfg), cfg)
+        .select("id_a", "id_b", "code", "score")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(got.nonEmpty)
+      assert(got == want)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_standing_hot")
+  }
+
   test("ensure() re-registers committed bucketed files without a rebuild or shuffle") {
     val (_, base) = corpus()
     val dir = java.nio.file.Files.createTempDirectory("graft_standing_spec3").toString
