@@ -207,6 +207,25 @@ object SparkEntry {
         .select("id_a", "id_b", "code", "score")
     }),
 
+    "er_incremental_clusters" -> ((s, dir) => {
+      // the CLOSED steady-state loop (Absorb): the mention corpus
+      // arrives as 4 deterministic crawl batches; each is scored
+      // against the standing bucketed table AND itself, appended into
+      // the table's bucket layout (no corpus rewrite/re-shuffle), and
+      // folded into the maintained label table by contracted-graph CC
+      // (ConnectedComponents.updateLabels — O(batch), not O(corpus)).
+      // Final labels are bit-identical to one-shot clustering
+      // (AbsorbSpec), so the oracle is the same recursive CTE the
+      // batch queries use. Table name/path are per-invocation fresh
+      // (the loop, including the seed build, is what this measures).
+      val n = mentionsNormCached(s, dir).select("id", "pre_proc", "nosuffix")
+      val table = s"graft_absorb_${entityCountFor(dir)}_${System.nanoTime()}"
+      val path = java.nio.file.Files.createTempDirectory("graft_absorb").toString
+      graft.pipeline.Absorb.absorbAll(s, n, nBatches = 4, table,
+          buckets = 16, path)
+        .select(col("id").as("mention_id"), col("component"))
+    }),
+
     "er_match_cand" -> ((s, dir) => {
       // the two-sided blocking join skeleton (matcher.py's main × base
       // candidate generation), oracled against the committed keyed
@@ -568,6 +587,22 @@ object SparkEntry {
          |sizes AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY component)
          |SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY size""".stripMargin,
     "er_resume" ->
+      s"""WITH RECURSIVE m AS (SELECT * FROM $M),
+         |verts AS (SELECT m.mention_id AS id FROM m JOIN $MEMO d USING (name)),
+         |e AS (SELECT id_a AS a, id_b AS b FROM $CODES WHERE code > 0),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+         |SELECT v.id AS mention_id, COALESCE(c.component, v.id) AS component
+         |FROM verts v LEFT JOIN comp c USING (id)""".stripMargin,
+    "er_incremental_clusters" ->
+      // the absorb loop's labels are bit-identical to one-shot
+      // clustering over the union corpus (AbsorbSpec), so the oracle
+      // is the standard transitive-closure CTE over the committed
+      // scored-code table — the same anchor er_resume uses
       s"""WITH RECURSIVE m AS (SELECT * FROM $M),
          |verts AS (SELECT m.mention_id AS id FROM m JOIN $MEMO d USING (name)),
          |e AS (SELECT id_a AS a, id_b AS b FROM $CODES WHERE code > 0),

@@ -132,9 +132,13 @@ object Verify {
 
     // ---- query results ----
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name done in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -155,6 +159,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // tag the fixture rows (ADVICE r5): the `_input_*` identity
+    // self-oracles pass by construction — they prove the committed
+    // dumps round-trip, not engine behavior (that is what the
+    // downstream query oracles reading them prove). This sidecar lets
+    // artifact consumers separate fixture rows from verified-query
+    // rows instead of counting both toward the same total.
+    val fixturesJson = fixtureNames.toSeq.sorted.map(q).mkString(
+      """{"note":"identity self-oracles over committed oracle-input dumps; """ +
+        """not engine-verified queries","fixtures":[""", ",", "]}")
+    Files.writeString(Paths.get(s"$outDir/fixtures.json"), fixturesJson)
     spark.stop()
   }
 }

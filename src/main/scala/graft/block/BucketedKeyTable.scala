@@ -20,21 +20,91 @@ import org.apache.spark.sql.functions._
   * The steady-state cost of re-blocking drops from O(corpus shuffle)
   * to O(new-data shuffle).
   *
+  * The table is a LIVING corpus, not a one-shot snapshot: [[append]]
+  * writes a crawl increment's keyed rows into the SAME bucket layout
+  * (each append adds one file per non-empty bucket; bucketed scans
+  * group all of a bucket's files into one partition), so the standing
+  * table advances a version per absorbed batch without ever rewriting
+  * — or re-shuffling — the corpus. AbsorbSpec asserts append ≡ rebuild
+  * (same rows, and the self-join / census plans stay exchange-free).
+  *
   * Parquet `bucketBy` locally; an Iceberg deployment expresses the
   * same contract as a bucket partition transform on the write side of
-  * the TableIO seam.
+  * the TableIO seam (append = ordinary snapshot append there).
   */
 object BucketedKeyTable {
+
+  /** Sidecar manifest recording the bucket count of the committed
+    * files — [[ensure]]'s re-register path derives the count from it
+    * instead of trusting the caller (a mismatched CLUSTERED BY DDL
+    * would register wrong bucket metadata and silently drop join
+    * pairs). */
+  private def manifestPath(path: String) =
+    java.nio.file.Paths.get(s"$path/_graft_buckets")
+
+  private def writeManifest(path: String, buckets: Int): Unit =
+    java.nio.file.Files.write(manifestPath(path),
+      buckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readManifest(path: String): Option[Int] =
+    if (java.nio.file.Files.exists(manifestPath(path)))
+      Some(new String(java.nio.file.Files.readAllBytes(manifestPath(path)),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+    else None
+
+  /** Max bucket id + 1 parsed from committed bucket file names
+    * (`part-*-<uuid>_NNNNN.c000…`) — the fallback validation for
+    * pre-manifest tables. A lower bound only (trailing empty buckets
+    * write no file), so it can't REPLACE the manifest, just catch a
+    * caller passing fewer buckets than the files carry. */
+  private def maxBucketIdPlus1(path: String): Int = {
+    val re = "_(\\d{5})\\.".r
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    try {
+      var mx = 0
+      stream.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("part-"))
+          re.findFirstMatchIn(n).foreach(m => mx = math.max(mx, m.group(1).toInt + 1))
+      }
+      mx
+    } finally stream.close()
+  }
 
   /** Persist `keyed` (id, key, …) bucketed AND sort-ordered by `key` as
     * an external table at `path`. `buckets` should match the planned
     * join parallelism (it caps the join's task count). */
   def write(keyed: DataFrame, table: String, buckets: Int,
-      path: String): Unit =
+      path: String): Unit = {
     keyed.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "key").sortBy("key")
       .option("path", path)
       .saveAsTable(table)
+    writeManifest(path, buckets)
+  }
+
+  /** Append a crawl increment's keyed rows into the standing table's
+    * existing bucket layout. The bucket spec is derived from the
+    * CATALOG (never caller-supplied — a drifted count would scatter
+    * rows across wrong buckets and silently drop join pairs). Only the
+    * increment shuffles (one exchange, to the table's hash
+    * distribution); the standing files are untouched — this is what
+    * lets a standing corpus ABSORB increments at O(increment) cost
+    * instead of being rebuilt per version. */
+  def append(spark: SparkSession, table: String, keyed: DataFrame): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalStateException(
+        s"append target '$table' carries no bucket spec — refusing to " +
+          "append unbucketed (the exchange-free join contract would break)"))
+    val w = keyed.write.mode("append").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w).saveAsTable(table)
+  }
 
   /** Make `table` available in this session, building it at most once
     * per `path` ACROSS sessions: bucket metadata lives in the catalog
@@ -44,11 +114,40 @@ object BucketedKeyTable {
     * ids are in the committed file names, so the registered table is
     * exchange-free-joinable exactly like the original. Callers bind
     * `path` to the code fingerprint (Lineage.codeFingerprint) so a
-    * behavior-changing edit rebuilds instead of resuming stale state. */
+    * behavior-changing edit rebuilds instead of resuming stale state.
+    *
+    * Every reuse path VALIDATES instead of trusting (a wrong catalog
+    * entry or bucket count fails loudly; registering wrong bucket
+    * metadata would silently drop join pairs):
+    *  - an existing catalog entry must point at `path`;
+    *  - the re-register branch takes the bucket count from the
+    *    committed manifest, requires it to equal `buckets`, and
+    *    cross-checks the bucket ids in the committed file names. */
   def ensure(spark: SparkSession, table: String, buckets: Int,
       path: String)(build: => DataFrame): Unit = {
-    if (spark.catalog.tableExists(table)) return
+    if (spark.catalog.tableExists(table)) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val loc = java.nio.file.Paths.get(meta.location).normalize
+      val want = java.nio.file.Paths.get(new java.io.File(path).toURI).normalize
+      require(loc == want,
+        s"table '$table' already registered at '$loc', not '$want' — " +
+          "refusing to reuse a catalog entry for different data")
+      require(meta.bucketSpec.exists(_.numBuckets == buckets),
+        s"table '$table' registered with bucket spec ${meta.bucketSpec}, " +
+          s"caller expects $buckets buckets")
+      return
+    }
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      val committed = readManifest(path).getOrElse(maxBucketIdPlus1(path))
+      require(committed <= buckets && maxBucketIdPlus1(path) <= buckets,
+        s"committed files at '$path' carry $committed buckets " +
+          s"(max file bucket id ${maxBucketIdPlus1(path) - 1}); " +
+          s"caller asked to register $buckets")
+      require(readManifest(path).forall(_ == buckets),
+        s"committed manifest at '$path' says ${readManifest(path).get} " +
+          s"buckets; caller asked for $buckets — bucket-count drift would " +
+          "make the exchange-free join silently drop pairs")
       val schemaDdl = spark.read.parquet(path).schema.toDDL
       spark.sql(
         s"""CREATE TABLE $table ($schemaDdl) USING parquet

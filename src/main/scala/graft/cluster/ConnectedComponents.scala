@@ -200,6 +200,92 @@ object ConnectedComponents {
     (labels, iter)
   }
 
+  /** Incremental label maintenance — the steady-state replacement for
+    * re-running CC over the full edge set on every crawl batch (at
+    * 10^12 accumulated edges a full recompute is an O(corpus) step per
+    * batch, exactly the cost class the bucketed blocking join removes
+    * from candidate generation).
+    *
+    * Correctness rests on label CONTRACTION: every maintained label is
+    * the min vertex id of its component, so collapsing each previous
+    * component to its label vertex preserves component minima exactly —
+    * CC over the contracted graph (new edges with endpoints mapped to
+    * their previous labels; increment vertices map to themselves)
+    * yields the same labels as CC over the full graph, bit-for-bit
+    * (IncrementalCcSpec proves it against full recomputes on
+    * adversarial graphs: chains joined end-to-end, increment ids
+    * smaller than standing minima, merges of many old components).
+    *
+    * Per-batch cost: CC over O(|newEdges|) contracted edges + one
+    * broadcast remap of the label table (the remap delta is
+    * O(|newEdges|)-sized — at most two previous components per new
+    * edge change label). The label-table scan itself is shuffle-free
+    * (broadcast hash join preserves partitioning); a production
+    * binding keeps labels bucketed by id and applies `remap` as a
+    * merge-on-read delta instead of rewriting the table — the delta is
+    * what [[updateLabelsWithDelta]] returns.
+    *
+    * @param prevLabels (id, component) — a CC FIXPOINT (labels = min
+    *        vertex id per component); not checked, garbage-in applies
+    * @param newEdges (two numeric id columns) — edges whose endpoints
+    *        are prevLabels ids or new vertex ids
+    * @param newVertices single-id-column table of vertices joining the
+    *        graph this batch (absent from prevLabels)
+    * @return (id, component) over prevLabels ∪ newVertices — identical
+    *         to a full CC recompute over old ∪ new edges */
+  def updateLabels(prevLabels: DataFrame, newEdges: DataFrame,
+      newVertices: DataFrame, reliable: Boolean = false,
+      broadcastRemap: Boolean = true): DataFrame =
+    updateLabelsWithDelta(prevLabels, newEdges, newVertices, reliable,
+      broadcastRemap)._1
+
+  /** [[updateLabels]] plus the (old_component, component) remap delta —
+    * the O(batch)-sized table a merge-on-read production binding
+    * commits instead of rewriting the labels. `broadcastRemap = false`
+    * is the same seam as Pipeline.Config.broadcastNames: when a
+    * pathological batch's remap outgrows the broadcast envelope the
+    * joins run as shuffle joins instead. */
+  def updateLabelsWithDelta(prevLabels: DataFrame, newEdges: DataFrame,
+      newVertices: DataFrame, reliable: Boolean = false,
+      broadcastRemap: Boolean = true): (DataFrame, DataFrame) = {
+    import prevLabels.sparkSession.implicits._
+    def mb(df: DataFrame): DataFrame =
+      if (broadcastRemap) broadcast(df) else df
+    val e = newEdges.toDF("a", "b")
+    // contract endpoints to their previous labels; an endpoint absent
+    // from prevLabels is an increment vertex and stays itself. The
+    // label table is first restricted to the batch's endpoints via a
+    // broadcast SEMI-join (one streamed scan, no label shuffle — the
+    // preserved side of an outer join cannot be the broadcast side, so
+    // joining the full label table outer-style would shuffle it), then
+    // the O(batch)-sized restriction is the broadcast build side of
+    // both endpoint lookups.
+    val endpoints = e.select($"a".as("id"))
+      .unionByName(e.select($"b".as("id"))).distinct()
+    val touched0 = prevLabels.join(mb(endpoints), Seq("id"), "left_semi")
+    val touched =
+      if (reliable) touched0.checkpoint(true) else touched0.localCheckpoint(true)
+    val ea = e.join(mb(touched.select($"id".as("a"), $"component".as("ca"))),
+      Seq("a"), "left")
+    val contractedEdges = ea
+      .join(mb(touched.select($"id".as("b"), $"component".as("cb"))),
+        Seq("b"), "left")
+      .select(coalesce($"ca", $"a").as("src"), coalesce($"cb", $"b").as("dst"))
+    val contracted = run(contractedEdges, reliable = reliable)
+    // remap rows where a contracted vertex (= old label or new id)
+    // landed in a bigger component; old labels absent here are
+    // untouched components
+    val remap = contracted.where($"id" =!= $"component")
+      .select($"id".as("component"), $"component".as("newc"))
+    val updated = prevLabels
+      .join(mb(remap), Seq("component"), "left")
+      .select($"id", coalesce($"newc", $"component").as("component"))
+    val fresh = newVertices.toDF("id")
+      .join(mb(contracted.withColumnRenamed("component", "cc")), Seq("id"), "left")
+      .select($"id", coalesce($"cc", $"id").as("component"))
+    (updated.unionByName(fresh), remap)
+  }
+
   /** Hub-degree pruning — the standard mitigation for transitive
     * over-merge: drop every edge incident to a vertex whose degree
     * exceeds `maxDegree` (such "hub" names connect to implausibly many

@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.block.BucketedKeyTable
+import graft.cluster.ConnectedComponents
+import graft.expr.{functions => gf}
+
+/** The CLOSED steady-state loop: crawl increments are not just scored
+  * against the standing corpus (Pipeline.incrementalEdges) — they are
+  * ABSORBED into it, so batch k+1 sees batch k's rows as standing
+  * state. This is the reference's production shape taken to its
+  * conclusion: match_pair.py:47-58's chunks are cumulative and the
+  * consumer re-clusters the growing edge list; here every step of that
+  * loop is O(increment), not O(corpus):
+  *
+  *  - candidate generation — increment × standing via the bucketed
+  *    blocking join (only the increment shuffles) PLUS the increment's
+  *    own self-pairs (the increment is crawl-cadence-bounded; its
+  *    self-join is cheap);
+  *  - absorption — [[BucketedKeyTable.append]] writes the increment's
+  *    keyed rows into the standing table's existing bucket layout (one
+  *    increment-sized exchange; the corpus files are untouched);
+  *  - clustering — [[ConnectedComponents.updateLabels]] seeds from the
+  *    previous label fixpoint and runs CC only over the CONTRACTED
+  *    new-edge graph (O(new edges)), bit-identical to a full recompute;
+  *  - monitoring — the per-batch component-size histogram (the
+  *    over-merge monitor) comes from the updated label table, so
+  *    transitive-chaining drift is observable per increment, not at
+  *    the next full recompute.
+  *
+  * Union-equivalence contract (AbsorbSpec): after absorbing batches
+  * b_1..b_k into a seed corpus, the accumulated edge set and the label
+  * table are bit-identical to the one-shot batch path
+  * (edgeCandidatesSelf + scoreCandidates + assignAll) over the UNION
+  * corpus. Pair order is canonicalized (id_a < id_b) before hydration
+  * and the runaway-key drop uses the COMBINED standing+increment
+  * census, so every per-pair decision matches the one-shot plan's.
+  * One documented divergence: runaway status is evaluated against the
+  * census AT ABSORPTION TIME — a key that crosses the bound in batch k
+  * stops generating pairs from then on, but pairs it produced in
+  * earlier batches remain (the reference's cumulative chunk outputs
+  * are immutable the same way). With no key crossing the bound
+  * mid-history — the overwhelmingly common case; crossing is logged —
+  * the equivalence is exact.
+  */
+object Absorb {
+
+  /** Standing-corpus state between batches:
+    *  - `table`: the bucketed blocking-key table (catalog name) —
+    *    durable, advanced by append;
+    *  - `norm`: (id, pre_proc, nosuffix) of every absorbed row — the
+    *    hydration side (a production binding keeps this as a committed
+    *    table bucketed by id; here it is a caller-persisted DataFrame);
+    *  - `labels`: the (id, component) CC fixpoint over all accepted
+    *    edges so far (production: committed per batch as a base table
+    *    + O(batch) remap deltas — updateLabelsWithDelta returns the
+    *    delta). */
+  final case class Standing(table: String, norm: DataFrame, labels: DataFrame)
+
+  /** Per-batch absorb output: the advanced standing state, this
+    * batch's accepted edges (canonical id_a < id_b, code, score), and
+    * the lazily-evaluated component-size histogram of the updated
+    * labels (the over-merge monitor). */
+  final case class BatchResult(standing: Standing, newEdges: DataFrame,
+      componentStats: DataFrame)
+
+  private def eager(df: DataFrame, cfg: Pipeline.Config): DataFrame =
+    if (cfg.reliableCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
+  /** Seed the standing state from an initial corpus via the one-shot
+    * batch path: cluster it, and commit its keyed table bucketed at
+    * `path` (or re-register committed files — BucketedKeyTable.ensure
+    * semantics). `seedNorm` should be caller-persisted; it becomes
+    * `Standing.norm`. */
+  def init(spark: SparkSession, table: String, buckets: Int, path: String,
+      seedNorm: DataFrame, cfg: Pipeline.Config = Pipeline.Config()): Standing = {
+    cfg.reliableCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val (cand, keyed) = Pipeline.edgeCandidatesSelfKeyed(seedNorm, cfg)
+    val edges = Pipeline.scoreCandidates(cand, cfg).select("id_a", "id_b")
+    val labels = eager(ConnectedComponents.assignAll(
+      edges, seedNorm.select("id"), reliable = cfg.reliableCheckpointDir.isDefined,
+      star = cfg.starCc), cfg)
+    BucketedKeyTable.ensure(spark, table, buckets, path) {
+      keyed.select("id", "key", "nosuffix")
+    }
+    keyed.unpersist()
+    Standing(table, seedNorm.select("id", "pre_proc", "nosuffix"), labels)
+  }
+
+  /** Absorb one crawl increment: score it against the standing corpus
+    * AND against itself, append it into the bucketed table, fold its
+    * accepted edges into the label table, and report the per-batch
+    * over-merge monitor. `incNorm` should be caller-persisted (it is
+    * consumed by the key explode, the hydration join, and the label
+    * update). */
+  def absorb(spark: SparkSession, st: Standing, incNorm: DataFrame,
+      cfg: Pipeline.Config = Pipeline.Config(),
+      monitor: Boolean = true): BatchResult = {
+    Pipeline.assertStandingBucketed(spark, st.table)
+    val keyedInc = Pipeline.incrementKeyed(incNorm).persist()
+    try {
+      // COMBINED standing+increment census for the runaway drop — the
+      // exact census the one-shot path would compute over the union
+      // keyed table. The standing side's groupBy is satisfied by the
+      // bucket layout (no corpus exchange); the increment census is
+      // O(increment). Runaway keys are few by construction → broadcast.
+      val standCensus = spark.table(st.table)
+        .groupBy("key").agg(count(lit(1)).as("n_s"))
+      val incCensus = keyedInc.groupBy("key").agg(count(lit(1)).as("n_i"))
+      val runaway = standCensus.join(incCensus, Seq("key"), "full_outer")
+        .where(coalesce(col("n_s"), lit(0L)) + coalesce(col("n_i"), lit(0L))
+          > cfg.runawayBlockSize)
+        .select("key")
+      // a key crossing the runaway bound THIS batch had standing pairs
+      // emitted in earlier batches that the one-shot path would drop —
+      // log it (see the class-level divergence note)
+      val crossed = runaway.join(
+          standCensus.where(col("n_s") <= cfg.runawayBlockSize), Seq("key"),
+          "left_semi")
+        .limit(5).collect()
+      if (crossed.nonEmpty)
+        System.err.println(s"[graft-absorb] ${crossed.length}+ key(s) crossed " +
+          s"the runaway bound this batch (e.g. '${crossed.head.getString(0)}'); " +
+          "earlier batches' pairs for them remain in the edge store")
+      // cross pairs (increment × standing, bucketed join) + the
+      // increment's self pairs — both prefilter-fused, both runaway-
+      // dropped on the combined census, then CANONICALIZED to
+      // id_a < id_b before hydration so code/score are computed on
+      // exactly the operand order the one-shot self path uses
+      val cross = Pipeline.incrementalPairs(spark, st.table, keyedInc, cfg,
+          runawayKeys = Some(runaway))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+      val selfKeyed = keyedInc
+        .select(col("id_a").as("id"), col("key"), col("nos_a").as("nosuffix"))
+        .join(broadcast(runaway), Seq("key"), "left_anti")
+      val selfPairs = Pipeline.candidatePairsSelf(selfKeyed, cfg,
+        cacheKeyed = false, earlyFilter = true)
+      // disjoint by construction (cross pairs have exactly one standing
+      // endpoint; self pairs have none) and each internally deduped
+      val pairs = cross.unionByName(selfPairs)
+      val unionNorm = st.norm.unionByName(incNorm.select("id", "pre_proc", "nosuffix"))
+      val newEdges = eager(Pipeline.scoreCandidates(
+        Pipeline.attachNames2(pairs
+            .observe("graft_absorb_pairs", count(lit(1)).as("pairs_deduped")),
+          unionNorm, unionNorm, cfg), cfg)
+        .select("id_a", "id_b", "code", "score"), cfg)
+      val labels = eager(ConnectedComponents.updateLabels(
+        st.labels, newEdges.select("id_a", "id_b"), incNorm.select("id"),
+        reliable = cfg.reliableCheckpointDir.isDefined,
+        broadcastRemap = cfg.broadcastNames), cfg)
+      // advance the durable bucketed table LAST (after the batch's
+      // edges/labels materialized): one increment-sized exchange,
+      // corpus files untouched
+      BucketedKeyTable.append(spark, st.table,
+        keyedInc.select(col("id_a").as("id"), col("key"),
+          col("nos_a").as("nosuffix")))
+      val stats = ConnectedComponents.componentStats(labels)
+      if (monitor) {
+        // the production over-merge monitor, per increment: a fat tail
+        // appearing HERE (not at the next full recompute) is the point
+        val top = stats.limit(3).collect()
+          .map(r => s"${r.getLong(0)}×${r.getLong(1)}").mkString(", ")
+        System.err.println(s"[graft-monitor] post-absorb component sizes " +
+          s"(size×count, top): $top")
+      }
+      BatchResult(Standing(st.table, unionNorm, labels), newEdges, stats)
+    } finally keyedInc.unpersist()
+  }
+
+  /** Convenience loop for the driver query / stress harness: split
+    * `norm` into `nBatches` deterministic arrival batches (pmod of
+    * id), seed from batch 0, absorb the rest, return the final label
+    * table — bit-identical to one-shot clustering of `norm`
+    * (AbsorbSpec; er_incremental_clusters oracles it against the same
+    * recursive CTE as the batch queries). `norm` should be
+    * caller-persisted (each batch slice filters it). */
+  def absorbAll(spark: SparkSession, norm: DataFrame, nBatches: Int,
+      table: String, buckets: Int, path: String,
+      cfg: Pipeline.Config = Pipeline.Config()): DataFrame = {
+    def slice(b: Int) = norm.where(pmod(col("id"), lit(nBatches)) === b)
+      .select("id", "pre_proc", "nosuffix")
+    var st = init(spark, table, buckets, path, slice(0).persist(), cfg)
+    for (b <- 1 until nBatches)
+      st = absorb(spark, st, slice(b).persist(), cfg).standing
+    // labels are eager-materialized; the catalog entry (external table
+    // — files stay at `path`) is dropped so repeated invocations don't
+    // leak table names
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    st.labels
+  }
+}

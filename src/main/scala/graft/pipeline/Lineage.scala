@@ -39,6 +39,7 @@ object Lineage {
   lazy val codeFingerprint: String = {
     val md = MessageDigest.getInstance("SHA-256")
     val entries = scala.collection.mutable.SortedMap[String, Array[Byte]]()
+    var failed = false
     try {
       val urls = getClass.getClassLoader.getResources("graft")
       while (urls.hasMoreElements) {
@@ -68,10 +69,22 @@ object Lineage {
         }
       }
     } catch { case e: Throwable =>
+      failed = true
       System.err.println(s"[graft-lineage] code fingerprint failed: ${e.getMessage}")
     }
-    if (entries.isEmpty) "nocode"
-    else {
+    // fail CLOSED: any fingerprinting error (or an unknown classpath
+    // protocol yielding zero entries, or a walk that threw midway and
+    // left a stable PARTIAL digest) falls back to a per-JVM random
+    // token — every durable root derived from it then misses and
+    // rebuilds, the safe direction. The old constant 'nocode' made
+    // every failing version share roots, exactly the stale-resume the
+    // fingerprint exists to prevent.
+    if (failed || entries.isEmpty) {
+      val token = s"nofp-${java.util.UUID.randomUUID().toString.take(8)}"
+      System.err.println(s"[graft-lineage] code fingerprint unavailable; " +
+        s"using per-JVM token $token (durable stages will rebuild)")
+      token
+    } else {
       entries.foreach { case (name, bytes) =>
         md.update(name.getBytes(StandardCharsets.UTF_8)); md.update(bytes)
       }

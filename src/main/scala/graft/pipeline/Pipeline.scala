@@ -424,20 +424,44 @@ object Pipeline {
     * broadcast anti-join, mirroring the two-sided path's base-side
     * runaway drop bit-for-bit. */
   def incrementalEdges(spark: SparkSession, standingTable: String,
-      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame = {
-    // runtime plan guard (always on — planning is driver-side and
-    // cheap): the whole point of the standing bucketed table is that
-    // the corpus never re-shuffles, so plan drift must fail the run —
-    // in Verify/Bench that fails the round artifact, not just a spec.
-    // The probe is a census-only plan over JUST the standing table: if
-    // its groupBy(key) is satisfied by the bucket layout (zero hash
-    // exchanges), EnsureRequirements satisfies the blocking join's
-    // standing side from the same distribution; if the table lost its
-    // bucket metadata (bad re-register, bucketed scans disabled), the
-    // probe plans an exchange and we fail fast. The full candidate
-    // plan is NOT a usable probe: the increment side's cached lineage
-    // (normalize memo) legitimately prints its own O(increment)
-    // exchanges inside the InMemoryRelation text.
+      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame =
+    // the keyed handle stays persisted: the CacheManager entry is
+    // keyed by the logical plan, so repeated IDENTICAL calls (Bench's
+    // median-of-3 over the same cached `main`) share one entry.
+    // Per-micro-batch callers (distinct `main` per batch) must use
+    // [[incrementalEdgesKeyed]] and release the handle themselves.
+    incrementalEdgesKeyed(spark, standingTable, main, baseNorm, cfg)._1
+
+  /** [[incrementalEdges]] plus the persisted increment-keyed handle —
+    * the blocking-key explode (double-metaphone + minhash per row, the
+    * expensive part) is consumed by BOTH the hot-key census action and
+    * the blocking join; the persist makes it run once per batch
+    * instead of twice (measured in SteadyStateProbe's per-batch
+    * walls). Repeated callers unpersist the handle after the batch's
+    * terminal action. */
+  def incrementalEdgesKeyed(spark: SparkSession, standingTable: String,
+      main: DataFrame, baseNorm: DataFrame,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
+    assertStandingBucketed(spark, standingTable)
+    val keyedInc = incrementKeyed(main).persist()
+    (scoreCandidates(incrementalCandidatesKeyed(spark, standingTable,
+      keyedInc, main, baseNorm, cfg), cfg), keyedInc)
+  }
+
+  /** Runtime plan guard (always on — planning is driver-side and
+    * cheap): the whole point of the standing bucketed table is that
+    * the corpus never re-shuffles, so plan drift must fail the run —
+    * in Verify/Bench that fails the round artifact, not just a spec.
+    * The probe is a census-only plan over JUST the standing table: if
+    * its groupBy(key) is satisfied by the bucket layout (zero hash
+    * exchanges), EnsureRequirements satisfies the blocking join's
+    * standing side from the same distribution; if the table lost its
+    * bucket metadata (bad re-register, bucketed scans disabled), the
+    * probe plans an exchange and we fail fast. The full candidate
+    * plan is NOT a usable probe: the increment side's cached lineage
+    * (normalize memo) legitimately prints its own O(increment)
+    * exchanges inside the InMemoryRelation text. */
+  def assertStandingBucketed(spark: SparkSession, standingTable: String): Unit = {
     val censusProbe = spark.table(standingTable)
       .groupBy("key").agg(count(lit(1)))
     val nHash = "Exchange hashpartitioning".r
@@ -446,9 +470,13 @@ object Pipeline {
       s"incremental plan drift: standing table '$standingTable' no longer " +
         s"satisfies groupBy/join from its buckets ($nHash hash exchanges " +
         "in the census probe plan)")
-    scoreCandidates(
-      incrementalCandidates(spark, standingTable, main, baseNorm, cfg), cfg)
   }
+
+  /** The increment's exploded keyed table (key, id_a, nos_a) — the
+    * per-batch shuffle payload of the incremental join. */
+  def incrementKeyed(main: DataFrame): DataFrame =
+    withBlockingKeys(main)
+      .select(col("key"), col("id").as("id_a"), col("nosuffix").as("nos_a"))
 
   /** The candidate half of [[incrementalEdges]] — hydrated
     * (id_a, id_b, pre_a, pre_b, nos_a, nos_b) prefilter-passing pairs
@@ -458,18 +486,44 @@ object Pipeline {
     * differs (standing side exchange-free). `main` is consumed twice
     * (key explode + hydration probe) — callers persist it. */
   def incrementalCandidates(spark: SparkSession, standingTable: String,
-      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame = {
+      main: DataFrame, baseNorm: DataFrame, cfg: Config = Config()): DataFrame =
+    incrementalCandidatesKeyed(spark, standingTable, incrementKeyed(main),
+      main, baseNorm, cfg)
+
+  /** [[incrementalCandidates]] over a caller-supplied (typically
+    * persisted) increment-keyed table from [[incrementKeyed]]. */
+  def incrementalCandidatesKeyed(spark: SparkSession, standingTable: String,
+      keyedInc: DataFrame, main: DataFrame, baseNorm: DataFrame,
+      cfg: Config = Config()): DataFrame =
+    attachNames2(
+      incrementalPairs(spark, standingTable, keyedInc, cfg)
+        .observe("graft_incremental_pairs",
+          count(lit(1)).as("pairs_deduped")),
+      main, baseNorm, cfg)
+
+  /** The raw deduped (id_a = increment id, id_b = standing id)
+    * prefilter-passing pair set of the incremental blocking join —
+    * exposed un-hydrated so the absorb path ([[Absorb]]) can
+    * canonicalize pair order before hydration.
+    *
+    * `runawayKeys`: standing-census runaways by default (bit-identical
+    * to [[candidatePairsTwoSided]]'s base-side drop); the absorb path
+    * overrides with the COMBINED standing+increment census so the
+    * union edge set matches the one-shot self path exactly. */
+  def incrementalPairs(spark: SparkSession, standingTable: String,
+      keyedInc: DataFrame, cfg: Config = Config(),
+      runawayKeys: Option[DataFrame] = None): DataFrame = {
     val standing = spark.table(standingTable)
     // runaway census over the bucketed scan: groupBy(key) is satisfied
     // by the table's bucket distribution — no exchange
-    val runaway = standing.groupBy("key")
-      .agg(count(lit(1)).as("block_size"))
-      .where(col("block_size") > cfg.runawayBlockSize)
-      .select("key")
+    val runaway = runawayKeys.getOrElse(
+      standing.groupBy("key")
+        .agg(count(lit(1)).as("block_size"))
+        .where(col("block_size") > cfg.runawayBlockSize)
+        .select("key"))
     val b = standing.join(broadcast(runaway), Seq("key"), "left_anti")
       .select(col("key"), col("id").as("id_b"), col("nosuffix").as("nos_b"))
-    val a = withBlockingKeys(main)
-      .select(col("key"), col("id").as("id_a"), col("nosuffix").as("nos_a"))
+    val a = keyedInc.join(broadcast(runaway), Seq("key"), "left_anti")
     // hot-increment fallback (closes the "pathologically hot increment
     // falls back manually" note): a key whose INCREMENT block exceeds
     // maxBlockSize would land its whole |inc_k| × |standing_k| product
@@ -485,40 +539,35 @@ object Pipeline {
       .where(col("bs_m") > cfg.maxBlockSize)
       .select("key").as[String](org.apache.spark.sql.Encoders.STRING)
       .take(10001)
-    val pairs =
-      if (hotKeys.isEmpty) {
-        b.join(a, Seq("key"))
-          .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
-          .select("id_a", "id_b")
-          .distinct()
-      } else if (hotKeys.length > 10000) {
-        // a batch with >10k hot keys is not an increment in any
-        // meaningful sense — escape to the full two-sided path (corpus
-        // subset shuffles; correct, never a single-task product)
-        System.err.println("[graft-inc] WARNING: batch has >10000 hot " +
-          "keys; routing the whole batch through candidatePairsTwoSided")
-        candidatePairsTwoSided(a, b, cfg, cacheKeyed = false,
-          earlyFilter = true)
-      } else {
-        System.err.println(s"[graft-inc] ${hotKeys.length} hot increment " +
-          s"keys (> ${cfg.maxBlockSize} rows); 2-D-grid scoring them " +
-          "against their standing rows")
-        val hot = broadcast(
-          spark.createDataset(hotKeys.toSeq)(
-            org.apache.spark.sql.Encoders.STRING).toDF("key"))
-        val cold = b.join(a.join(hot, Seq("key"), "left_anti"), Seq("key"))
-          .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
-          .select("id_a", "id_b")
-        val gridded = candidatePairsTwoSided(
-          a.join(hot, Seq("key"), "left_semi"),
-          b.join(hot, Seq("key"), "left_semi"),
-          cfg, cacheKeyed = false, earlyFilter = true)
-        cold.unionByName(gridded).distinct()
-      }
-    attachNames2(
-      pairs.observe("graft_incremental_pairs",
-        count(lit(1)).as("pairs_deduped")),
-      main, baseNorm, cfg)
+    if (hotKeys.isEmpty) {
+      b.join(a, Seq("key"))
+        .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+        .select("id_a", "id_b")
+        .distinct()
+    } else if (hotKeys.length > 10000) {
+      // a batch with >10k hot keys is not an increment in any
+      // meaningful sense — escape to the full two-sided path (corpus
+      // subset shuffles; correct, never a single-task product)
+      System.err.println("[graft-inc] WARNING: batch has >10000 hot " +
+        "keys; routing the whole batch through candidatePairsTwoSided")
+      candidatePairsTwoSided(a, b, cfg, cacheKeyed = false,
+        earlyFilter = true)
+    } else {
+      System.err.println(s"[graft-inc] ${hotKeys.length} hot increment " +
+        s"keys (> ${cfg.maxBlockSize} rows); 2-D-grid scoring them " +
+        "against their standing rows")
+      val hot = broadcast(
+        spark.createDataset(hotKeys.toSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("key"))
+      val cold = b.join(a.join(hot, Seq("key"), "left_anti"), Seq("key"))
+        .where(gf.prefilter_pass(col("nos_a"), col("nos_b"), cfg.cutoff))
+        .select("id_a", "id_b")
+      val gridded = candidatePairsTwoSided(
+        a.join(hot, Seq("key"), "left_semi"),
+        b.join(hot, Seq("key"), "left_semi"),
+        cfg, cacheKeyed = false, earlyFilter = true)
+      cold.unionByName(gridded).distinct()
+    }
   }
 
   /** Distinct (id_a, id_b) main × base pairs from two keyed tables —

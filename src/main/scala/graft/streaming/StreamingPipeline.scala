@@ -142,14 +142,90 @@ object StreamingPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val main = graft.pipeline.Pipeline.normalize(batchMentions(batch)).persist()
-        try graft.pipeline.Pipeline
-          .incrementalEdges(spark, standingTable, main, baseNorm)
+        // keyed handle released per batch: each micro-batch's `main` is
+        // a distinct plan, so the plain incrementalEdges persist would
+        // accumulate one CacheManager entry per batch forever
+        val (edges, keyedInc) = graft.pipeline.Pipeline
+          .incrementalEdgesKeyed(spark, standingTable, main, baseNorm)
+        try edges
           .select("id_a", "id_b", "code", "score")
           .write.mode("overwrite").parquet(s"$edgesDir/batch=$batchId")
-        finally main.unpersist()
+        finally { keyedInc.unpersist(); main.unpersist() }
         ()
       }
       .start()
+  }
+
+  /** The ABSORBING stream — [[incrementalEdgesBucketed]] with the loop
+    * closed (round-6 centerpiece): each micro-batch is scored against
+    * the standing corpus AND itself, appended into the bucketed
+    * table's layout, folded into the maintained label table
+    * (contracted-graph CC — O(batch)), and monitored for over-merge
+    * per increment ([[graft.pipeline.Absorb.absorb]]). Batch k+1 sees
+    * batch k as standing state.
+    *
+    * Durability split:
+    *  - edges: idempotent per-batch overwrite dirs (as before);
+    *  - the bucketed table: durable, but append is NOT naturally
+    *    idempotent under foreachBatch replay — a crash between the
+    *    append and the checkpoint commit re-runs the batch, and a
+    *    second append would double the batch's standing rows and its
+    *    future self-pairs. The `_absorbed_batches` sidecar (one
+    *    batchId per line, written AFTER the batch's effects commit)
+    *    makes replay skip the whole absorb — the committed edges dir
+    *    for the batch is already in place;
+    *  - norm + labels: query-lifetime state here; production commits
+    *    the label delta per batch (Absorb scaladoc) and re-seeds both
+    *    from committed tables on restart, using the sidecar to know
+    *    which batches are already absorbed.
+    *
+    * Returns the started query plus a live reference to the standing
+    * state (StreamingSpec reads labels/monitor from it after
+    * termination). */
+  def absorbingEdges(spark: SparkSession, pagesDir: String,
+      initial: graft.pipeline.Absorb.Standing, edgesDir: String,
+      checkpointDir: String)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         java.util.concurrent.atomic.AtomicReference[graft.pipeline.Absorb.Standing]) = {
+    val stRef = new java.util.concurrent.atomic.AtomicReference(initial)
+    val sidecar = java.nio.file.Paths.get(s"$edgesDir/_absorbed_batches")
+    def absorbed(): Set[Long] =
+      if (java.nio.file.Files.exists(sidecar))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(sidecar)).asScala
+          .filter(_.nonEmpty).map(_.toLong).toSet
+      else Set.empty
+    val q = spark.readStream
+      .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+      .parquet(pagesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (absorbed().contains(batchId)) {
+          System.err.println(s"[graft-absorb] batch $batchId already " +
+            "absorbed (replay after crash); skipping")
+        } else {
+          // eager localCheckpoint, NOT persist+unpersist: the standing
+          // norm keeps referencing this batch's rows in later batches,
+          // and a micro-batch DataFrame's lineage is only valid during
+          // its own batch — the checkpoint detaches the rows from the
+          // streaming source (production reads the committed norm
+          // table instead, so nothing accumulates in executor memory)
+          val incNorm = graft.pipeline.Pipeline
+            .normalize(batchMentions(batch)).localCheckpoint(true)
+          val r = graft.pipeline.Absorb.absorb(spark, stRef.get, incNorm)
+          r.newEdges.write.mode("overwrite")
+            .parquet(s"$edgesDir/batch=$batchId")
+          stRef.set(r.standing)
+          java.nio.file.Files.writeString(sidecar, s"$batchId\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+        ()
+      }
+      .start()
+    (q, stRef)
   }
 
   /** Stateful first-occurrence dedup by normalized name. */

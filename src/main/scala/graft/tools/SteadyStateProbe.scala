@@ -72,7 +72,21 @@ object SteadyStateProbe {
           }
         }
       })
-    def drainBus(): Unit = Thread.sleep(1500) // listener events are async
+    // listener events are async: poll the counters until QUIESCENT
+    // (three consecutive 200 ms windows with no movement), capped at
+    // 8 s — a fixed sleep on a slow VM era could attribute one timed
+    // block's task-end events to the next block's byte totals
+    def drainBus(): Unit = {
+      val t0 = System.nanoTime()
+      var prev = (shufWrite.get, shufRead.get, inputRead.get)
+      var stable = 0
+      while (stable < 3 && (System.nanoTime() - t0) < 8000000000L) {
+        Thread.sleep(200)
+        val cur = (shufWrite.get, shufRead.get, inputRead.get)
+        if (cur == prev) stable += 1 else stable = 0
+        prev = cur
+      }
+    }
 
     println(s"STEADY config standing=$nStand ents, increment=$nInc ents")
     val t0 = System.nanoTime()

@@ -98,6 +98,61 @@ class StreamingSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_stream_standing")
   }
 
+  test("absorbing stream: batches fold into the standing state; labels ≡ one-shot; monitor per batch") {
+    import org.apache.spark.sql.functions.col
+    import graft.cluster.ConnectedComponents
+    import graft.pipeline.{Absorb, Pipeline}
+    val pagesDir = Files.createTempDirectory("graft_abs_pages").toString
+    val edgesDir = Files.createTempDirectory("graft_abs_edges").toString + "/e"
+    val ckptDir = Files.createTempDirectory("graft_abs_ckpt").toString
+    val keyedDir = Files.createTempDirectory("graft_abs_keyed").toString
+    val nEnt = 40L
+    // seed corpus = mentions of the first half of the entities;
+    // the stream delivers the second half's pages
+    val allNorm = Pipeline.normalize(
+      Pipeline.extractMentions(PagesGen.generate(spark, nEnt, 4))
+        .select($"mention_id".as("id"), $"name"))
+      .select("id", "pre_proc", "nosuffix").persist()
+    val seedNorm = Pipeline.normalize(
+      Pipeline.extractMentions(
+          PagesGen.generate(spark, nEnt / 2, 4))
+        .select($"mention_id".as("id"), $"name"))
+      .select("id", "pre_proc", "nosuffix").persist()
+    // stream input: the pages of entities nEnt/2 .. nEnt
+    PagesGen.generate(spark, nEnt, 4)
+      .where(col("url").rlike("^https://host(2\\d|3\\d)-"))
+      .write.mode("overwrite").parquet(pagesDir)
+    val table = s"graft_abs_stream_${System.nanoTime()}"
+    try {
+      val st0 = Absorb.init(spark, table, 8, keyedDir, seedNorm)
+      val (q, stRef) = StreamingPipeline.absorbingEdges(
+        spark, pagesDir, st0, edgesDir, ckptDir)
+      q.awaitTermination(240000)
+      val st = stRef.get
+      // labels over seed ∪ streamed ≡ one-shot batch clustering
+      val want = ConnectedComponents.assignAll(
+        Pipeline.scoreCandidates(Pipeline.edgeCandidatesSelf(allNorm))
+          .select("id_a", "id_b"), allNorm.select("id"))
+        .as[(Long, Long)].collect().toSet
+      val got = st.labels.as[(Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == want,
+        s"absorbing-stream labels diverge from one-shot: got=${got.size} want=${want.size}")
+      // the per-batch over-merge monitor is live: the component-size
+      // histogram of the final state is non-trivial
+      val stats = ConnectedComponents.componentStats(st.labels)
+        .as[(Long, Long)].collect()
+      assert(stats.nonEmpty && stats.map(_._2).sum > 0)
+      // replay protection: a second run over the same checkpoint must
+      // not double-absorb (standing row count unchanged)
+      val rowsBefore = spark.table(table).count()
+      val (q2, _) = StreamingPipeline.absorbingEdges(
+        spark, pagesDir, st, edgesDir, ckptDir)
+      q2.awaitTermination(120000)
+      assert(spark.table(table).count() == rowsBefore,
+        "restart must not re-append absorbed batches")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("stateful dedup emits one first_url per distinct normalized name") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     PagesGen.generate(spark, 30, 4).write.mode("overwrite").parquet(dir)
