@@ -48,11 +48,22 @@ object DedupOps {
 
   /** MinHash-LSH near-dup pairs: band-bucket join on (id, band) only,
     * id-pair dedup, then a late join back to text for the word-3-gram
-    * Jaccard ≥ `threshold` verification. Input: (id, text). */
+    * Jaccard ≥ `threshold` verification. Input: (id, text).
+    *
+    * The (id, text) projection and the band table are persisted: each
+    * is consumed by several plan branches (band table: hot-band census
+    * + both join sides; text: both verify join-backs), and without the
+    * persist every branch re-evaluates the upstream docs subtree AND
+    * the 24-hash MinHash per row — measured at sf0.1 as ~5 full
+    * re-evaluations of the pages→extract→minhash chain, 30.7 s of the
+    * q9 wall (guide §1.2: remove repeated passes first). Both tables
+    * are (id, small-string)-narrow. Repeated identical calls share one
+    * CacheManager entry per plan (the mentionsNormCached idiom). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val ids = minhashCandidateIds(minhashBandTable(d, "id", "text"), maxBucket)
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text")).persist()
+    val ids = minhashCandidateIds(
+      minhashBandTable(d, "id", "text").persist(), maxBucket)
     val ta = d.select(col("id").as("id_a"), col("text").as("text_a"))
     val tb = d.select(col("id").as("id_b"), col("text").as("text_b"))
     ids.join(ta, Seq("id_a")).join(tb, Seq("id_b"))

@@ -135,22 +135,39 @@ object PagesGen {
        |<p>Crawl batch ${e % 97}</p></body></html>""".stripMargin
   }
 
-  /** Deterministic pages DataFrame: nEntities × mentionsPerEntity rows. */
-  def generate(spark: SparkSession, nEntities: Long, mentionsPerEntity: Int,
-      partitions: Int = 32, coined: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val mpe = mentionsPerEntity
-    val useCoined = coined
-    spark.range(0, nEntities * mpe, 1, partitions).map { i =>
+  /** Row builder for [[generate]] as a CASE CLASS, not an anonymous
+    * closure: Catalyst compares `MapElements.func` by object equality
+    * when deciding whether two plans are the same (`sameResult`), and
+    * an anonymous closure is a fresh, never-equal instance per call —
+    * so every separately-constructed pages subtree defeated the
+    * CacheManager and re-ran the whole pages→extract→normalize chain
+    * per query (measured: a second `normalize(extractMentions(pagesFor))`
+    * plan reported usesCache=false and recomputed). Structural equality
+    * here restores the documented one-cache-entry-per-identical-plan
+    * behavior. Output rows are byte-identical to the old closure. */
+  private final case class PageRowFn(mpe: Int, coined: Boolean)
+      extends (java.lang.Long => (String, Timestamp, Array[Byte], String, String))
+      with Serializable {
+    override def apply(i0: java.lang.Long): (String, Timestamp, Array[Byte], String, String) = {
+      val i = i0.longValue()
       val e = i / mpe
       val v = (i % mpe).toInt
       val lang = langs(((e * 31 + v) % langs.length).toInt)
-      val html = htmlFor(e, v, lang, useCoined)
+      val html = htmlFor(e, v, lang, coined)
       val bytes = html.getBytes(StandardCharsets.UTF_8)
       val text = Extract.extractText(bytes)
       val ts = new Timestamp(1609459200000L + i * 1000L) // 2021-01-01 + i sec
       (s"https://host$e-$v.example/profile", ts, bytes, text, lang)
-    }.toDF("url", "warc_ts", "html", "text", "lang")
+    }
+  }
+
+  /** Deterministic pages DataFrame: nEntities × mentionsPerEntity rows. */
+  def generate(spark: SparkSession, nEntities: Long, mentionsPerEntity: Int,
+      partitions: Int = 32, coined: Boolean = false): DataFrame = {
+    import spark.implicits._
+    spark.range(0, nEntities * mentionsPerEntity, 1, partitions)
+      .map(PageRowFn(mentionsPerEntity, coined))
+      .toDF("url", "warc_ts", "html", "text", "lang")
   }
 
   /** Ground-truth entity id for a page url (test oracle). */
@@ -162,11 +179,21 @@ object PagesGen {
     * per entity, formal legal form. Ids are the small entity indices,
     * disjoint from the xxhash64 mention-id space the two-sided matcher
     * joins against. */
+  /** Same case-class-function idiom as [[PageRowFn]] (plan equality /
+    * CacheManager dedupe across separately-constructed invocations). */
+  private final case class BaseRowFn(coined: Boolean)
+      extends (java.lang.Long => (Long, String)) with Serializable {
+    override def apply(e0: java.lang.Long): (Long, String) = {
+      val e = e0.longValue()
+      (e, (if (coined) coinedBaseName(e) else entityBaseName(e)) + " Inc.")
+    }
+  }
+
   def baseUniverse(spark: SparkSession, nEntities: Long,
       coined: Boolean = false): DataFrame = {
     import spark.implicits._
     spark.range(0, nEntities, 1, 8)
-      .map(e => (e, (if (coined) coinedBaseName(e) else entityBaseName(e)) + " Inc."))
+      .map(BaseRowFn(coined))
       .toDF("id", "name")
   }
 }

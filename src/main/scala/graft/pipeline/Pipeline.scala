@@ -565,7 +565,11 @@ object Pipeline {
       val gridded = candidatePairsTwoSided(
         a.join(hot, Seq("key"), "left_semi"),
         b.join(hot, Seq("key"), "left_semi"),
-        cfg, cacheKeyed = false, earlyFilter = true)
+        cfg, cacheKeyed = false, earlyFilter = true,
+        // the union's terminal distinct below dedups BOTH branches —
+        // a second distinct inside the grid path would stack a full
+        // extra exchange+agg over ~90% of the pair volume
+        dedup = false)
       cold.unionByName(gridded).distinct()
     }
   }
@@ -592,7 +596,7 @@ object Pipeline {
     *    no runaway bound — big main keys are real data). */
   def candidatePairsTwoSided(keyedM0: DataFrame, keyedB0: DataFrame,
       cfg: Config = Config(), cacheKeyed: Boolean = true,
-      earlyFilter: Boolean = false): DataFrame = {
+      earlyFilter: Boolean = false, dedup: Boolean = true): DataFrame = {
     // see candidatePairsSelf: the keyed sides are multiply consumed
     // (census + small join + hot join on each side) and every uncached
     // scan re-runs the blocking_keys explode
@@ -632,7 +636,13 @@ object Pipeline {
         Seq("key", "salt_m", "salt_b")))
       .select("id_a", "id_b")
       .observe("graft_salted_pairs_2s", count(lit(1)).as("pairs_salted"))
-    smallPairs.unionByName(hotPairs).distinct()
+    // `dedup = false` hands the pair dedup to the CALLER's terminal
+    // distinct (the incremental hot-key route unions this output with
+    // its cold branch and must dedup across the union anyway — two
+    // stacked distincts cost a full extra exchange+agg over the pair
+    // set, 9.2 s of the r7-baseline er_incremental wall; guide §2.4)
+    val u = smallPairs.unionByName(hotPairs)
+    if (dedup) u.distinct() else u
   }
 
   /** Prefilter + cascade over candidate pairs → accepted edges with
