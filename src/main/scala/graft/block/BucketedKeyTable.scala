@@ -153,7 +153,70 @@ object BucketedKeyTable {
         s"""CREATE TABLE $table ($schemaDdl) USING parquet
            |CLUSTERED BY (key) SORTED BY (key) INTO $buckets BUCKETS
            |LOCATION '$path'""".stripMargin)
+      // close the pre-manifest hole for the NEXT reuse: a path that
+      // validated against file names only (lower bound) gets a real
+      // manifest now, so a later caller passing a larger bucket count
+      // fails the manifest equality check instead of registering wrong
+      // bucket metadata (silent join-pair drop)
+      if (readManifest(path).isEmpty) writeManifest(path, buckets)
     } else write(build, table, buckets, path)
+  }
+
+  /** File-count observability for the living table (each [[append]]
+    * adds one file per non-empty bucket; bucketed scans pay a per-file
+    * open cost, so unbounded appends degrade task setup — guide §6
+    * "small files"). */
+  final case class BucketFiles(buckets: Int, totalFiles: Int, maxPerBucket: Int)
+
+  def filesPerBucket(spark: SparkSession, table: String): BucketFiles = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
+    val re = "_(\\d{5})\\.".r
+    val counts = new Array[Int](math.max(buckets, 1))
+    var total = 0
+    val stream = java.nio.file.Files.list(
+      java.nio.file.Paths.get(meta.location))
+    try stream.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("part-")) re.findFirstMatchIn(n).foreach { m =>
+        val b = m.group(1).toInt
+        if (b < counts.length) counts(b) += 1
+        total += 1
+      }
+    } finally stream.close()
+    BucketFiles(buckets, total, if (counts.isEmpty) 0 else counts.max)
+  }
+
+  /** Bucket-preserving compaction of the living table — the local
+    * analog of Iceberg's `rewrite_data_files`: rewrite the accumulated
+    * per-append files into one file per bucket at a NEW location and
+    * re-register the catalog entry there. One full read + one bucketed
+    * write (maintenance cost, amortized across the appends that made
+    * it necessary); rows and the exchange-free join contract are
+    * unchanged (spec: post-compaction census plan still plans zero
+    * hash exchanges, row multiset identical). Returns the new path. */
+  def compact(spark: SparkSession, table: String): String = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"compact target '$table' carries no bucket spec"))
+    val oldPath = java.nio.file.Paths.get(meta.location).toString
+    val base = oldPath.replaceAll("__c\\d+$", "")
+    val newPath = s"${base}__c${System.nanoTime()}"
+    // read rows from the FILES (not the table: the catalog entry is
+    // dropped before the new one is created, and execution is lazy).
+    // The pre-write repartition lands each bucket's rows in exactly one
+    // task — repartition's hash (murmur3 pmod n) is the same function
+    // bucketing uses, so partition id == bucket id and the write emits
+    // ONE file per non-empty bucket (a plain bucketed write emits one
+    // file per task per bucket, which is the fragmentation compaction
+    // exists to undo; guide §6 output file sizing).
+    val rows = spark.read.parquet(oldPath)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+    spark.sql(s"DROP TABLE $table")
+    write(rows, table, spec.numBuckets, newPath)
+    newPath
   }
 
   /** Blocking self-join over the bucketed table: candidate id pairs

@@ -52,12 +52,45 @@ object Absorb {
     *    durable, advanced by append;
     *  - `norm`: (id, pre_proc, nosuffix) of every absorbed row — the
     *    hydration side (a production binding keeps this as a committed
-    *    table bucketed by id; here it is a caller-persisted DataFrame);
+    *    table bucketed by id; here it is a caller-persisted DataFrame,
+    *    compacted to an eager checkpoint every
+    *    [[Absorb.NormCompactEvery]] batches so the unionByName plan
+    *    chain — and the driver's planning cost — stays O(1) in batch
+    *    count instead of growing one union node per batch);
     *  - `labels`: the (id, component) CC fixpoint over all accepted
     *    edges so far (production: committed per batch as a base table
     *    + O(batch) remap deltas — updateLabelsWithDelta returns the
-    *    delta). */
-  final case class Standing(table: String, norm: DataFrame, labels: DataFrame)
+    *    delta);
+    *  - `census`: the MAINTAINED per-key row count of `table`
+    *    (key, n) — initialized once from the seed keyed table and
+    *    advanced by each batch's increment census delta, so the
+    *    runaway-key decision and the crossed-the-bound monitor read
+    *    O(keys) maintained state instead of re-scanning the standing
+    *    table's key column every batch (the round-6 O(corpus)-per-batch
+    *    residual). Spec contract: ≡ recomputing the census from the
+    *    table at any batch boundary;
+    *  - `batches`: absorbed-batch count (drives norm compaction). */
+  final case class Standing(table: String, norm: DataFrame, labels: DataFrame,
+      census: DataFrame, batches: Int = 0)
+
+  /** Compact `Standing.norm`'s union chain to an eager checkpoint every
+    * N batches: plan depth stays bounded (a 1000-batch crawl would
+    * otherwise carry a 1000-deep union and planning itself becomes the
+    * bottleneck — guide §3.3), while the O(corpus) re-materialization
+    * is amortized to 1/N per batch. Production reads a committed norm
+    * table instead (scaladoc above), where this concern disappears. */
+  val NormCompactEvery = 8
+
+  /** Best-effort release of the localCheckpoint blocks behind an eager
+    * DataFrame that has been SUPERSEDED by a newer checkpoint — without
+    * this every batch leaks its predecessor's label/census blocks into
+    * executor storage for the life of the stream (round-6 ADVICE). The
+    * caller must only invoke it once nothing references the plan. */
+  private def releaseEager(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** Per-batch absorb output: the advanced standing state, this
     * batch's accepted edges (canonical id_a < id_b, code, score), and
@@ -66,9 +99,18 @@ object Absorb {
   final case class BatchResult(standing: Standing, newEdges: DataFrame,
       componentStats: DataFrame)
 
+  /** Eager checkpoint via [[org.apache.spark.sql.GraftBridge.eagerNoStats]]:
+    * `Dataset.localCheckpoint` propagates the origin plan's statistics
+    * into the checkpoint leaf, and across the absorb loop's CHAINED
+    * per-batch checkpoints (labels/census reference their predecessor
+    * more than once per batch plan) the inherited BigInt estimate
+    * squares every batch — by batch ~14 the driver burns minutes in
+    * BigInteger multiplies (a genuine long-crawl breaker, caught by the
+    * 17-batch spec). The absorb loop's joins all use explicit
+    * broadcast() hints, so default leaf stats lose nothing. */
   private def eager(df: DataFrame, cfg: Pipeline.Config): DataFrame =
-    if (cfg.reliableCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    org.apache.spark.sql.GraftBridge.eagerNoStats(df,
+      reliable = cfg.reliableCheckpointDir.isDefined)
 
   /** Seed the standing state from an initial corpus via the one-shot
     * batch path: cluster it, and commit its keyed table bucketed at
@@ -86,8 +128,16 @@ object Absorb {
     BucketedKeyTable.ensure(spark, table, buckets, path) {
       keyed.select("id", "key", "nosuffix")
     }
+    // census state seeded once from the COMMITTED table (not the keyed
+    // DataFrame: ensure may have re-registered pre-existing files whose
+    // content includes earlier appends) — the bucketed scan satisfies
+    // the groupBy with zero exchanges; advanced per batch by the
+    // increment's census delta from then on
+    val census = eager(
+      spark.table(table).groupBy("key").agg(count(lit(1)).as("n")), cfg)
     keyed.unpersist()
-    Standing(table, seedNorm.select("id", "pre_proc", "nosuffix"), labels)
+    Standing(table, seedNorm.select("id", "pre_proc", "nosuffix"), labels,
+      census)
   }
 
   /** Absorb one crawl increment: score it against the standing corpus
@@ -100,27 +150,43 @@ object Absorb {
       cfg: Pipeline.Config = Pipeline.Config(),
       monitor: Boolean = true): BatchResult = {
     Pipeline.assertStandingBucketed(spark, st.table)
+    // phase labels (guide §1.5): every job this batch runs is tagged,
+    // so the UI — and the AbsorbBytes probe's listener — can attribute
+    // wall/shuffle/input bytes to census vs pairs vs hydration vs
+    // scoring vs append vs labels
+    def phase[A](name: String)(f: => A): A = {
+      spark.sparkContext.setJobDescription(s"absorb: $name")
+      try f finally spark.sparkContext.setJobDescription(null)
+    }
     val keyedInc = Pipeline.incrementKeyed(incNorm).persist()
     try {
       // COMBINED standing+increment census for the runaway drop — the
       // exact census the one-shot path would compute over the union
-      // keyed table. The standing side's groupBy is satisfied by the
-      // bucket layout (no corpus exchange); the increment census is
-      // O(increment). Runaway keys are few by construction → broadcast.
-      val standCensus = spark.table(st.table)
-        .groupBy("key").agg(count(lit(1)).as("n_s"))
+      // keyed table. The standing side now comes from the MAINTAINED
+      // census state (st.census ≡ the table's per-key counts — spec),
+      // advanced by the increment's O(increment) census delta: the
+      // per-batch O(corpus) standing-table key scan is gone, and the
+      // crossed-the-bound monitor reads the same join instead of a
+      // second scan. The checkpointed census preserves its hash
+      // partitioning on `key`, so only the increment side exchanges.
       val incCensus = keyedInc.groupBy("key").agg(count(lit(1)).as("n_i"))
-      val runaway = standCensus.join(incCensus, Seq("key"), "full_outer")
-        .where(coalesce(col("n_s"), lit(0L)) + coalesce(col("n_i"), lit(0L))
-          > cfg.runawayBlockSize)
+      val newCensus = phase("census")(eager(st.census
+        .withColumnRenamed("n", "n_s")
+        .join(incCensus, Seq("key"), "full_outer")
+        .select(col("key"),
+          (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_i"), lit(0L)))
+            .as("n"),
+          coalesce(col("n_s"), lit(0L)).as("n_prev")), cfg))
+      val runaway = newCensus.where(col("n") > cfg.runawayBlockSize)
         .select("key")
       // a key crossing the runaway bound THIS batch had standing pairs
       // emitted in earlier batches that the one-shot path would drop —
-      // log it (see the class-level divergence note)
-      val crossed = runaway.join(
-          standCensus.where(col("n_s") <= cfg.runawayBlockSize), Seq("key"),
-          "left_semi")
-        .limit(5).collect()
+      // log it (see the class-level divergence note). Reads the
+      // maintained census — no standing-table scan.
+      val crossed = phase("census")(newCensus
+        .where(col("n") > cfg.runawayBlockSize &&
+          col("n_prev") <= cfg.runawayBlockSize && col("n_prev") > 0)
+        .limit(5).collect())
       if (crossed.nonEmpty)
         System.err.println(s"[graft-absorb] ${crossed.length}+ key(s) crossed " +
           s"the runaway bound this batch (e.g. '${crossed.head.getString(0)}'); " +
@@ -140,24 +206,37 @@ object Absorb {
       val selfPairs = Pipeline.candidatePairsSelf(selfKeyed, cfg,
         cacheKeyed = false, earlyFilter = true)
       // disjoint by construction (cross pairs have exactly one standing
-      // endpoint; self pairs have none) and each internally deduped
-      val pairs = cross.unionByName(selfPairs)
+      // endpoint; self pairs have none) and each internally deduped.
+      // Materialized eagerly so the endpoint census below doesn't
+      // re-run the blocking joins.
+      val pairs = phase("pairs")(eager(cross.unionByName(selfPairs)
+        .observe("graft_absorb_pairs", count(lit(1)).as("pairs_deduped")), cfg))
       val unionNorm = st.norm.unionByName(incNorm.select("id", "pre_proc", "nosuffix"))
-      val newEdges = eager(Pipeline.scoreCandidates(
-        Pipeline.attachNames2(pairs
-            .observe("graft_absorb_pairs", count(lit(1)).as("pairs_deduped")),
-          unionNorm, unionNorm, cfg), cfg)
-        .select("id_a", "id_b", "code", "score"), cfg)
-      val labels = eager(ConnectedComponents.updateLabels(
+      // hydration pruned to the batch's pair ENDPOINTS (the
+      // updateLabelsWithDelta idiom): one broadcast semi-join restricts
+      // the corpus norm to O(increment·density) rows BEFORE the
+      // attachNames2 broadcasts, so the per-batch broadcast payload no
+      // longer scales with corpus size. The single corpus-norm scan
+      // this costs is a read, not a shuffle (and in the production
+      // binding an id-bucketed committed norm table turns it into a
+      // bucket-pruned lookup).
+      val endpoints = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+      val touchedNorm = phase("hydrate-restrict")(eager(unionNorm
+        .join(broadcast(endpoints), Seq("id"), "left_semi"), cfg))
+      val newEdges = phase("score")(eager(Pipeline.scoreCandidates(
+        Pipeline.attachNames2(pairs, touchedNorm, touchedNorm, cfg), cfg)
+        .select("id_a", "id_b", "code", "score"), cfg))
+      val labels = phase("labels")(eager(ConnectedComponents.updateLabels(
         st.labels, newEdges.select("id_a", "id_b"), incNorm.select("id"),
         reliable = cfg.reliableCheckpointDir.isDefined,
-        broadcastRemap = cfg.broadcastNames), cfg)
+        broadcastRemap = cfg.broadcastNames), cfg))
       // advance the durable bucketed table LAST (after the batch's
       // edges/labels materialized): one increment-sized exchange,
       // corpus files untouched
-      BucketedKeyTable.append(spark, st.table,
+      phase("append")(BucketedKeyTable.append(spark, st.table,
         keyedInc.select(col("id_a").as("id"), col("key"),
-          col("nos_a").as("nosuffix")))
+          col("nos_a").as("nosuffix"))))
       val stats = ConnectedComponents.componentStats(labels)
       if (monitor) {
         // the production over-merge monitor, per increment: a fat tail
@@ -166,8 +245,27 @@ object Absorb {
           .map(r => s"${r.getLong(0)}×${r.getLong(1)}").mkString(", ")
         System.err.println(s"[graft-monitor] post-absorb component sizes " +
           s"(size×count, top): $top")
+        val files = BucketedKeyTable.filesPerBucket(spark, st.table)
+        System.err.println(s"[graft-monitor] standing table files: " +
+          s"${files.totalFiles} over ${files.buckets} buckets " +
+          s"(max ${files.maxPerBucket}/bucket)")
       }
-      BatchResult(Standing(st.table, unionNorm, labels), newEdges, stats)
+      // superseded eager state: the previous labels/census checkpoints
+      // are no longer referenced once their successors materialized —
+      // release their blocks so a long-running stream's executor
+      // storage stays O(state), not O(state × batches)
+      releaseEager(st.labels)
+      releaseEager(st.census)
+      val batches = st.batches + 1
+      // bound the norm union chain's plan depth (see NormCompactEvery)
+      val newNorm =
+        if (batches % NormCompactEvery == 0) {
+          val compacted = phase("norm-compact")(eager(unionNorm, cfg))
+          releaseEager(st.norm) // the old chain's checkpoint leaves
+          compacted
+        } else unionNorm
+      BatchResult(Standing(st.table, newNorm, labels,
+        newCensus.select("key", "n"), batches), newEdges, stats)
     } finally keyedInc.unpersist()
   }
 

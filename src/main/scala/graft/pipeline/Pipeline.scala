@@ -812,7 +812,13 @@ object Pipeline {
     val out =
       if (cfg.reliableCheckpointDir.isDefined) projected.checkpoint()
       else projected.localCheckpoint()
-    norm.unpersist()
+    // endToEnd-internal caches are released; the normalize memo is NOT:
+    // its plan is the cross-query shared entry (identical plans dedupe
+    // in the CacheManager since the PagesGen row-builder became a case
+    // class), so unpersisting it here would evict it for every sibling
+    // consumer in the session (e.g. the two-sided match path running
+    // right after a clustering pass re-pays the full 229-rule cascade).
+    // The entry is distinct-name-sized and dies with the session.
     names.unpersist()
     keyed.unpersist()
     edges0.unpersist()

@@ -193,7 +193,10 @@ object StreamingPipeline {
       if (java.nio.file.Files.exists(sidecar))
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(sidecar)).asScala
-          .filter(_.nonEmpty).map(_.toLong).toSet
+          // a torn line from a crash mid-append must not wedge every
+          // subsequent restart with a NumberFormatException — an
+          // unparsable line is simply not an absorbed batch
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
       else Set.empty
     val q = spark.readStream
       .schema("url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")

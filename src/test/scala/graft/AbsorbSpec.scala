@@ -142,6 +142,90 @@ class AbsorbSpec extends SparkSuite {
     }
   }
 
+  test("maintained census ≡ recomputed census; norm plan depth stays bounded; labels ≡ one-shot (17 batches)") {
+    val n = norm()
+    val want = ConnectedComponents.assignAll(
+      Pipeline.scoreCandidates(Pipeline.edgeCandidatesSelf(n))
+        .select("id_a", "id_b"), n.select("id"))
+      .as[(Long, Long)].collect().toSet
+    val table = s"graft_census_spec_${System.nanoTime()}"
+    val nBatches = 17 // crosses two NormCompactEvery=8 boundaries
+    def slice(b: Int) = n.where(pmod(col("id"), lit(nBatches)) === b)
+      .select("id", "pre_proc", "nosuffix")
+    def planSize(df: DataFrame): Int = {
+      var c = 0
+      df.queryExecution.logical.foreach(_ => c += 1)
+      c
+    }
+    try {
+      var st = Absorb.init(spark, table, 8, tmp("graft_census"),
+        slice(0).persist())
+      val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+      for (b <- 1 until nBatches) {
+        st = Absorb.absorb(spark, st, slice(b).persist(),
+          monitor = false).standing
+        sizes += planSize(st.norm)
+      }
+      // maintained census must equal a recompute from the table at the
+      // final batch boundary (the runaway/crossed decisions read it)
+      val maintained = st.census.as[(String, Long)].collect().toSet
+      val recomputed = spark.table(table).groupBy("key")
+        .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toSet
+      assert(maintained == recomputed,
+        s"census drift: ${(maintained diff recomputed).take(3)} extra, " +
+          s"${(recomputed diff maintained).take(3)} missing")
+      // plan depth is sawtooth-bounded by the compaction, not linear in
+      // batch count: the post-compaction depth at batch 16 must not
+      // exceed the post-compaction depth at batch 8 (identical chain
+      // shape each period — growth across periods means the compaction
+      // is not truncating the union chain)
+      val afterFirst = sizes(Absorb.NormCompactEvery - 1)
+      val afterSecond = sizes(2 * Absorb.NormCompactEvery - 1)
+      assert(afterSecond <= afterFirst,
+        s"norm plan depth grew across compaction periods: $sizes")
+      assert(st.labels.as[(Long, Long)].collect().toSet == want)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("compact(): rows identical, census+join still exchange-free, files per bucket collapse") {
+    val n = norm()
+    val parts = 4
+    def slice(b: Int) = n.where(pmod(col("id"), lit(parts)) === b)
+    val table = s"graft_compact_spec_${System.nanoTime()}"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketedKeyTable.ensure(spark, table, 8, tmp("graft_compact")) {
+        Pipeline.withBlockingKeys(slice(0)).select("id", "key", "nosuffix")
+      }
+      for (b <- 1 until parts)
+        BucketedKeyTable.append(spark, table,
+          Pipeline.withBlockingKeys(slice(b)).select("id", "key", "nosuffix"))
+      val before = BucketedKeyTable.filesPerBucket(spark, table)
+      assert(before.maxPerBucket >= parts,
+        s"append should stack one file per batch per bucket: $before")
+      val rowsBefore = spark.table(table)
+        .as[(Long, String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      BucketedKeyTable.compact(spark, table)
+      val after = BucketedKeyTable.filesPerBucket(spark, table)
+      assert(after.maxPerBucket == 1 && after.totalFiles <= before.buckets,
+        s"compaction did not collapse files: $before -> $after")
+      val rowsAfter = spark.table(table)
+        .as[(Long, String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(rowsAfter == rowsBefore, "compaction changed the row multiset")
+      Pipeline.assertStandingBucketed(spark, table)
+      val plan = BucketedKeyTable.selfJoinPairs(spark, table)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"post-compaction self-join lost exchange-freedom:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("ensure() fails loudly on catalog-location or bucket-count drift") {
     val n = norm()
     val table = s"graft_guard_spec_${System.nanoTime()}"
