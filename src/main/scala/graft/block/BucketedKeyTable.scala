@@ -98,7 +98,18 @@ object BucketedKeyTable {
       throw new IllegalStateException(
         s"append target '$table' carries no bucket spec — refusing to " +
           "append unbucketed (the exchange-free join contract would break)"))
-    val w = keyed.write.mode("append").format("parquet")
+    // repartition onto the bucket boundaries first: a bucketed write
+    // emits one file per TASK per bucket, so an un-repartitioned
+    // append adds tasks×buckets files per batch (measured: ~2048
+    // files/append at 64 buckets — the small-files degeneration the
+    // compaction exists to undo; guide §6). repartition's hash
+    // (murmur3 pmod n) is the same function bucketing uses, so
+    // partition id == bucket id and each append adds AT MOST one file
+    // per non-empty bucket. Same one-increment-sized exchange as
+    // before (the bucketed write shuffles either way), same rows.
+    val parted = keyed.repartition(spec.numBuckets,
+      spec.bucketColumnNames.map(col): _*)
+    val w = parted.write.mode("append").format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
     (if (spec.sortColumnNames.nonEmpty)

@@ -70,36 +70,103 @@ object AbsorbStress {
     println(s"ABSORB seed_labels ${st.labels.count()}")
     mark("seed")
     try {
+      // absorbed edge union: seed one-shot edges (same computation
+      // init ran) + every batch's newEdges — the divergence analysis
+      // below verifies labels against exactly these
+      var allEdges = Pipeline.scoreCandidates(
+          Pipeline.edgeCandidatesSelf(slice(0, seedEnt), cfg), cfg)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      println(s"ABSORB seed_edges ${allEdges.size}")
       var tPrev = now()
       for (b <- 0 until nInc) {
         val lo = seedEnt + b * incEnt
         val r = Absorb.absorb(spark, st, slice(lo, lo + incEnt).persist(), cfg)
         st = r.standing
-        val ne = r.newEdges.count()
+        val batchEdges = r.newEdges.select("id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+        allEdges ++= batchEdges
         val top = r.componentStats.limit(3).collect()
           .map(x => s"${x.getLong(0)}x${x.getLong(1)}").mkString(",")
-        println(f"ABSORB batch$b wall ${now() - tPrev}%.1fs new_edges $ne " +
-          s"top_components $top")
+        println(f"ABSORB batch$b wall ${now() - tPrev}%.1fs " +
+          s"new_edges ${batchEdges.size} top_components $top")
         tPrev = now()
       }
       mark("absorbed_all")
       val got = st.labels.as[(Long, Long)].collect().toSet
 
-      // one-shot comparison on the union corpus
+      // one-shot comparison on the union corpus. The absorb contract
+      // (Absorb scaladoc "union-equivalence", divergence note): labels
+      // are bit-identical to one-shot UNLESS a key CROSSED the runaway
+      // bound mid-history — a crossing key's earlier-batch pairs
+      // legitimately remain in the edge store (the reference's
+      // cumulative chunk outputs are immutable the same way), so the
+      // absorbed edge set is then a SUPERSET of one-shot whose extras
+      // all carry a crossed key. This stress verifies that contract
+      // EXACTLY instead of asserting blind equality (at 320k, mh-band
+      // censuses grow past the bound mid-history for the first time —
+      // the 80k run has no crossing keys and still demands identity):
+      //  (1) incremental label maintenance ≡ full CC over the edges
+      //      the loop actually produced (the part that must ALWAYS be
+      //      bit-identical);
+      //  (2) one-shot edges ⊆ absorbed edges (nothing missing);
+      //  (3) every extra absorbed edge shares ≥1 crossed key.
       val tOne = now()
-      val union = norm.select("id", "pre_proc", "nosuffix")
-      val oneShot = ConnectedComponents.assignAll(
-        Pipeline.scoreCandidates(Pipeline.edgeCandidatesSelf(union, cfg), cfg)
-          .select("id_a", "id_b"), union.select("id"), star = cfg.starCc)
-      val want = oneShot.as[(Long, Long)].collect().toSet
+      val union = norm.select("id", "pre_proc", "nosuffix").persist()
+      val oneShotEdges = Pipeline.scoreCandidates(
+          Pipeline.edgeCandidatesSelf(union, cfg), cfg)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val want = ConnectedComponents.assignAll(
+          oneShotEdges, union.select("id"), star = cfg.starCc)
+        .as[(Long, Long)].collect().toSet
       println(f"ABSORB one_shot_wall ${now() - tOne}%.1fs")
-      val ok = got == want
-      println(s"ABSORB equality ${if (ok) "IDENTICAL" else "DIVERGED"} " +
-        s"(absorbed ${got.size} labels, one-shot ${want.size})")
-      if (!ok) {
-        println(s"ABSORB extra ${(got diff want).take(5)}")
-        println(s"ABSORB missing ${(want diff got).take(5)}")
-        sys.exit(1)
+      if (got == want) {
+        println(s"ABSORB equality IDENTICAL " +
+          s"(absorbed ${got.size} labels, one-shot ${want.size})")
+      } else {
+        // (1) labels ≡ CC over the absorbed edge union, bit-identical
+        val absorbedEdges = allEdges.toSeq.toDF("id_a", "id_b")
+        val overAbsorbed = ConnectedComponents.assignAll(
+            absorbedEdges, union.select("id"), star = cfg.starCc)
+          .as[(Long, Long)].collect().toSet
+        val labelsOk = got == overAbsorbed
+        println(s"ABSORB labels_vs_absorbed_edges " +
+          s"${if (labelsOk) "IDENTICAL" else "DIVERGED"}")
+        // (2)+(3) edge-level containment + crossed-key attribution
+        val oneShot = oneShotEdges.as[(Long, Long)].collect().toSet
+        val missing = oneShot diff allEdges
+        val extra = allEdges diff oneShot
+        val seedCensus = Pipeline.withBlockingKeys(slice(0, seedEnt))
+          .groupBy("key").agg(count(lit(1)).as("n_seed"))
+        val unionCensus = Pipeline.withBlockingKeys(union)
+          .groupBy("key").agg(count(lit(1)).as("n_union"))
+        val crossedKeys = unionCensus
+          .join(seedCensus, Seq("key"), "left")
+          .where(col("n_union") > cfg.runawayBlockSize &&
+            coalesce(col("n_seed"), lit(0L)) <= cfg.runawayBlockSize)
+          .select("key").as[String].collect().toSet
+        println(s"ABSORB crossed_keys ${crossedKeys.size} " +
+          crossedKeys.take(5).mkString(","))
+        val extraIds = extra.flatMap(p => Seq(p._1, p._2))
+        val keyOf = Pipeline.withBlockingKeys(union)
+          .where(col("id").isin(extraIds.toSeq: _*))
+          .select("id", "key").as[(Long, String)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val unexplained = extra.filter { case (a, b) =>
+          (keyOf.getOrElse(a, Set.empty) intersect
+            keyOf.getOrElse(b, Set.empty) intersect crossedKeys).isEmpty
+        }
+        val ok = labelsOk && missing.isEmpty && unexplained.isEmpty
+        println(s"ABSORB equality ${if (ok)
+          "EQUIVALENT-MODULO-CROSSED-KEYS (documented contract)"
+          else "DIVERGED"} " +
+          s"(absorbed ${got.size} labels, one-shot ${want.size}; " +
+          s"missing_edges ${missing.size}, extra ${extra.size}, " +
+          s"unexplained_extra ${unexplained.size})")
+        if (!ok) {
+          println(s"ABSORB missing_sample ${missing.take(5)}")
+          println(s"ABSORB unexplained_sample ${unexplained.take(5)}")
+          sys.exit(1)
+        }
       }
       ConnectedComponents.componentStats(st.labels).limit(8).collect()
         .foreach(r => println(s"ABSORB compsize ${r.get(0)} x${r.get(1)}"))
