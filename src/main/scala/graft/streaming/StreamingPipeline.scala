@@ -173,7 +173,14 @@ object StreamingPipeline {
     *    future self-pairs. The `_absorbed_batches` sidecar (one
     *    batchId per line, written AFTER the batch's effects commit)
     *    makes replay skip the whole absorb — the committed edges dir
-    *    for the batch is already in place;
+    *    for the batch is already in place. Residual window (known,
+    *    round-6 ADVICE): a crash BETWEEN the table append and the
+    *    sidecar line still re-appends the batch on replay; closing it
+    *    needs an atomically-committed append (the Iceberg binding of
+    *    the TableIO seam — snapshot commit + batchId in snapshot
+    *    metadata) or batch-tagged rows with replay-time dedup. A torn
+    *    sidecar line no longer wedges restarts (unparsable lines are
+    *    skipped, not parsed with toLong);
     *  - norm + labels: query-lifetime state here; production commits
     *    the label delta per batch (Absorb scaladoc) and re-seeds both
     *    from committed tables on restart, using the sidecar to know
