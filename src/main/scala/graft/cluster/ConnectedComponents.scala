@@ -59,8 +59,15 @@ object ConnectedComponents {
     val sym = ck(e.union(e.select($"dst".as("src"), $"src".as("dst")))
       .repartition($"src")) // fixed partitioning reused by every round's join
 
-    var labels = ck(sym.select($"src".as("id")).distinct()
-      .withColumn("component", $"id"))
+    // seed labels at min(self, neighbors) — exactly what the first
+    // propagation round would compute from identity labels, for the
+    // same one-exchange cost the identity seed's distinct() paid; every
+    // CC invocation converges one round earlier (each round is a full
+    // join+agg+checkpoint job — ~1-1.5 s of fixed overhead locally).
+    // Fixpoint unchanged: min-label propagation from any pointwise
+    // lower bound ≥ the component minimum reaches the same labels.
+    var labels = ck(sym.groupBy($"src").agg(min($"dst").as("md"))
+      .select($"src".as("id"), least($"src", $"md").as("component")))
 
     // sum over ZERO rows is SQL-null: an empty edge list (every edge
     // pruned/dropped upstream) must converge in one round, not NPE
